@@ -1,0 +1,22 @@
+"""sandstorm-tpu: a TPU-native Cairo STARK prover built on JAX/XLA/Pallas.
+
+A from-scratch reimplementation of the capabilities of andrewmilson/sandstorm
+(a SHARP-compatible Cairo prover built on the miniSTARK engine), redesigned
+TPU-first:
+
+- Field arithmetic (Goldilocks 64-bit and the 252-bit Starkware prime) as
+  vectorized uint32-limb kernels that run on the TPU VPU/MXU.
+- Radix-2 / four-step NTTs for trace interpolation and coset LDE, sharded
+  across device meshes with `shard_map` + `all_to_all` collectives.
+- Device-side Blake2s / Keccak hashing of LDE rows for Merkle commitments.
+- A symbolic AIR constraint DSL traced to JAX for batched evaluation over
+  the constraint-evaluation domain and scalar evaluation at OODS points.
+- A full STARK prove/verify pipeline (two-phase trace commit, permutation
+  arguments as `associative_scan`s, DEEP composition, FRI, proof-of-work,
+  query decommitment).
+
+Reference behavior documented against /root/reference (sandstorm) file:line
+in docstrings throughout.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,360 @@
+"""The 252-bit Starkware prime field p = 2^251 + 17*2^192 + 1, TPU-native.
+
+The reference stack exposes this field as
+``ministark_gpu::fields::p3618502788666131213697322783095070105623107215331596699973092056135872020481``
+(see /root/reference cli/src/main.rs:25-26).  Here an element is a
+``[..., 16]`` uint32 array of sixteen 16-bit digits (little-endian), kept in
+the Montgomery domain (R = 2^256) so multiplication is a single
+digit-convolution + REDC.
+
+Why 16-bit digits: TPU VPU lanes are 32-bit and there is no widening
+multiply, so 16x16->32 partial products are the widest exact products
+available.  The Starkware prime has only THREE nonzero base-2^16 digits
+(d0 = 1, d12 = 17, d15 = 0x0800), which makes each Montgomery-REDC round
+four multiply-adds instead of sixteen.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .u32 import U32, MASK16
+
+P = (1 << 251) + 17 * (1 << 192) + 1
+NDIGITS = 16
+DIGIT_BITS = 16
+R = (1 << 256) % P
+R2 = (R * R) % P
+# p ≡ 1 (mod 2^16)  =>  -p^{-1} ≡ -1 (mod 2^16): m = (-t0) mod 2^16
+
+
+def _int_to_digits(x: int, n: int = NDIGITS):
+    return [(x >> (16 * i)) & 0xFFFF for i in range(n)]
+
+
+P_DIGITS = _int_to_digits(P)
+assert P_DIGITS[0] == 1 and P_DIGITS[12] == 17 and P_DIGITS[15] == 0x0800
+assert all(d == 0 for i, d in enumerate(P_DIGITS) if i not in (0, 12, 15))
+
+
+def _unstack(a):
+    """[..., 16] array -> list of 16 [...] digit arrays."""
+    return [a[..., i] for i in range(a.shape[-1])]
+
+
+def _stack(digits):
+    return jnp.stack(digits, axis=-1)
+
+
+def _carry_propagate(digits, nout=None):
+    """Ripple-carry normalize a list of u32 'loose' digits (< 2^32) to < 2^16.
+
+    Returns nout digits; asserts no overflow past the last digit is expected
+    by the caller.
+    """
+    nout = nout if nout is not None else len(digits)
+    out = []
+    c = jnp.zeros_like(digits[0])
+    for i in range(nout):
+        v = (digits[i] if i < len(digits) else jnp.zeros_like(c)) + c
+        out.append(v & MASK16)
+        c = v >> 16
+    return out, c
+
+
+def _sub_p(digits):
+    """digits(list of 16) - p -> (diff digits, borrow_out)."""
+    out = []
+    borrow = jnp.zeros_like(digits[0])
+    for i in range(NDIGITS):
+        pd = U32(P_DIGITS[i])
+        v = digits[i] - pd - borrow
+        out.append(v & MASK16)
+        # borrow if digits[i] < pd + borrow; digits are < 2^16 so check sign
+        # via the 17th bit of the wrapped subtraction
+        borrow = (v >> 31)  # u32 wraparound => top bit set
+    return out, borrow
+
+
+def _add_p(digits):
+    out = []
+    c = jnp.zeros_like(digits[0])
+    for i in range(NDIGITS):
+        v = digits[i] + U32(P_DIGITS[i]) + c
+        out.append(v & MASK16)
+        c = v >> 16
+    return out
+
+
+def _cond_sub_p(digits):
+    """Subtract p once if >= p (input < 2p)."""
+    diff, borrow = _sub_p(digits)
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, d, dd) for d, dd in zip(digits, diff)]
+
+
+def _dmul(a_digits, b_digits):
+    """Schoolbook 16x16-digit product -> 32 normalized digits (< 2^16)."""
+    n = NDIGITS
+    # column accumulators: lo/hi 16-bit halves of partial products
+    acc_lo = [None] * (2 * n - 1)
+    acc_hi = [None] * (2 * n - 1)
+
+    def _acc(slot_list, k, v):
+        slot_list[k] = v if slot_list[k] is None else slot_list[k] + v
+
+    for i in range(n):
+        ai = a_digits[i]
+        for j in range(n):
+            prod = ai * b_digits[j]  # < 2^32, exact in u32
+            _acc(acc_lo, i + j, prod & MASK16)
+            _acc(acc_hi, i + j, prod >> 16)
+
+    # combine: digit k gets acc_lo[k] + acc_hi[k-1]; each sum < 2^21
+    loose = []
+    for k in range(2 * n):
+        v = None
+        if k < 2 * n - 1 and acc_lo[k] is not None:
+            v = acc_lo[k]
+        if k >= 1 and acc_hi[k - 1] is not None:
+            v = acc_hi[k - 1] if v is None else v + acc_hi[k - 1]
+        loose.append(v if v is not None else jnp.zeros_like(a_digits[0]))
+    out, carry = _carry_propagate(loose, 2 * n)
+    # product < 2^504 so there is no carry out of digit 31
+    return out
+
+
+def _redc(t_digits):
+    """Montgomery reduction of a 32-digit value: returns t/R mod p, < p.
+
+    Exploits p's sparse digits: each round adds m*(1 + 17*2^192 + 2^251)
+    shifted by the round index, i.e. four multiply-adds.
+    """
+    t = list(t_digits) + [jnp.zeros_like(t_digits[0])]  # headroom slot 32
+    c = jnp.zeros_like(t[0])
+    for i in range(NDIGITS):
+        ti = t[i] + c
+        m = (jnp.zeros_like(ti) - ti) & MASK16  # (-t_i) mod 2^16
+        ti = ti + m  # now ≡ 0 (mod 2^16)
+        c = ti >> 16
+        m17 = m * U32(17)
+        t[i + 12] = t[i + 12] + (m17 & MASK16)
+        t[i + 13] = t[i + 13] + (m17 >> 16)
+        t[i + 15] = t[i + 15] + ((m << 11) & MASK16)
+        t[i + 16] = t[i + 16] + (m >> 5)
+    # result = t[16..33] + carry c at digit 16
+    t[16] = t[16] + c
+    res, carry = _carry_propagate(t[16:33], 17)
+    # result < 2p < 2^253: digit 16 must be zero after propagation
+    return _cond_sub_p(res[:NDIGITS])
+
+
+class Fp252:
+    """Starkware 252-bit field; elements are [..., 16] u32 digit arrays.
+
+    Arithmetic operates in the Montgomery domain (R = 2^256).
+    """
+
+    NLIMBS = NDIGITS
+    MODULUS = P
+    TWO_ADICITY = 192
+    GENERATOR = 3
+    NAME = "fp252"
+    IS_MONT = True
+    NUM_BYTES = 32
+
+    # -- representation ----------------------------------------------------
+
+    @staticmethod
+    def zeros(shape=()):
+        return jnp.zeros(tuple(shape) + (NDIGITS,), dtype=U32)
+
+    @classmethod
+    def ones(cls, shape=()):
+        return jnp.broadcast_to(cls.encode_int(1), tuple(shape) + (NDIGITS,))
+
+    @classmethod
+    def encode_int(cls, x: int):
+        """Python int -> Montgomery-domain element of shape [16]."""
+        mont = (int(x) % P) * R % P
+        return jnp.array(_int_to_digits(mont), dtype=U32)
+
+    @classmethod
+    def encode_ints(cls, xs):
+        arr = np.array(
+            [_int_to_digits((int(x) % P) * R % P) for x in xs], dtype=np.uint32)
+        return jnp.asarray(arr)
+
+    @classmethod
+    def encode_canonical_u64(cls, arr):
+        """numpy [..., 4] uint64 (LE 64-bit words, canonical) -> Montgomery digits.
+
+        The conversion to the Montgomery domain runs on device via one mul.
+        """
+        arr = np.asarray(arr, dtype=np.uint64)
+        digs = np.empty(arr.shape[:-1] + (NDIGITS,), dtype=np.uint32)
+        for w in range(4):
+            for d in range(4):
+                digs[..., 4 * w + d] = (
+                    (arr[..., w] >> np.uint64(16 * d)) & np.uint64(0xFFFF)
+                ).astype(np.uint32)
+        canonical = jnp.asarray(digs)
+        r2 = jnp.array(_int_to_digits(R2), dtype=U32)
+        return cls._montmul(canonical, jnp.broadcast_to(r2, canonical.shape))
+
+    @classmethod
+    def decode(cls, arr):
+        """Montgomery digits -> numpy object array of python ints."""
+        canonical = cls.from_mont(arr)
+        digs = np.asarray(jax.device_get(canonical), dtype=np.uint64)
+        out = np.zeros(digs.shape[:-1], dtype=object)
+        for i in range(NDIGITS):
+            out += digs[..., i].astype(object) << (16 * i)
+        return out
+
+    @classmethod
+    def decode_ints(cls, arr):
+        return [int(v) for v in cls.decode(arr).ravel()]
+
+    @classmethod
+    def from_mont(cls, a):
+        """Montgomery -> canonical digits (i.e. multiply by R^-1)."""
+        one = jnp.zeros(a.shape, dtype=U32).at[..., 0].set(1)
+        return cls._montmul(a, one)
+
+    @classmethod
+    def to_mont_digits(cls, canonical):
+        r2 = jnp.array(_int_to_digits(R2), dtype=U32)
+        return cls._montmul(canonical, jnp.broadcast_to(r2, canonical.shape))
+
+    # -- arithmetic --------------------------------------------------------
+
+    @staticmethod
+    def add(a, b):
+        loose = [x + y for x, y in zip(_unstack(a), _unstack(b))]
+        digits, carry = _carry_propagate(loose, NDIGITS)
+        # a, b < p < 2^252 so the sum fits in 16 digits (no carry out)
+        return _stack(_cond_sub_p(digits))
+
+    @staticmethod
+    def sub(a, b):
+        ad, bd = _unstack(a), _unstack(b)
+        out = []
+        borrow = jnp.zeros_like(ad[0])
+        for i in range(NDIGITS):
+            v = ad[i] - bd[i] - borrow
+            out.append(v & MASK16)
+            borrow = v >> 31
+        added = _add_p(out)
+        wrapped = borrow.astype(jnp.bool_)
+        return _stack([jnp.where(wrapped, x, y) for x, y in zip(added, out)])
+
+    @classmethod
+    def neg(cls, a):
+        return cls.sub(jnp.zeros_like(a), a)
+
+    @classmethod
+    def _montmul(cls, a, b):
+        prod = _dmul(_unstack(a), _unstack(b))
+        return _stack(_redc(prod))
+
+    @classmethod
+    def mul(cls, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        return cls._montmul(a, b)
+
+    @classmethod
+    def sqr(cls, a):
+        return cls.mul(a, a)
+
+    @classmethod
+    def mul_scalar(cls, a, s: int):
+        return cls.mul(a, jnp.broadcast_to(cls.encode_int(s), a.shape))
+
+    @staticmethod
+    def eq(a, b):
+        return jnp.all(a == b, axis=-1)
+
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=-1)
+
+    # -- exponentiation / inversion ---------------------------------------
+
+    @classmethod
+    def pow_static(cls, a, e: int):
+        if e == 0:
+            return cls.ones(a.shape[:-1])
+        result = None
+        base = a
+        while e > 0:
+            if e & 1:
+                result = base if result is None else cls.mul(result, base)
+            e >>= 1
+            if e:
+                base = cls.mul(base, base)
+        return result
+
+    @classmethod
+    def pow_bits_loop(cls, a, e: int, nbits: int = 252):
+        bits = jnp.array([(e >> i) & 1 for i in range(nbits)], dtype=U32)
+        one = cls.ones(a.shape[:-1])
+
+        def body(i, carry):
+            result, base = carry
+            bit = bits[i]
+            mul_res = cls.mul(result, base)
+            result = jnp.where((bit == 1)[..., None], mul_res, result)
+            base = cls.mul(base, base)
+            return result, base
+
+        result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+        return result
+
+    @classmethod
+    def inv(cls, a):
+        """Batched modular inverse via Fermat; inv(0) = 0."""
+        return cls.pow_bits_loop(a, P - 2, 252)
+
+    @classmethod
+    def batch_inv(cls, a, axis=0):
+        """Montgomery batch inversion: two associative scans + one inversion."""
+        n = a.shape[axis]
+        prefix = jax.lax.associative_scan(cls.mul, a, axis=axis)
+        total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=True)
+        total_inv = cls.inv(total)
+        suffix = jax.lax.associative_scan(cls.mul, a, axis=axis, reverse=True)
+        ones = cls.ones(jax.lax.index_in_dim(a, 0, axis=axis, keepdims=True).shape[:-1])
+        prefix_shift = jnp.concatenate(
+            [ones, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=axis)], axis=axis)
+        suffix_shift = jnp.concatenate(
+            [jax.lax.slice_in_dim(suffix, 1, n, axis=axis), ones], axis=axis)
+        t = cls.mul(prefix_shift, suffix_shift)
+        return cls.mul(t, jnp.broadcast_to(total_inv, t.shape))
+
+    # -- roots of unity ----------------------------------------------------
+
+    @classmethod
+    def root_of_unity_int(cls, order: int) -> int:
+        assert order & (order - 1) == 0 and order <= (1 << cls.TWO_ADICITY)
+        return pow(cls.GENERATOR, (P - 1) // order, P)
+
+    @classmethod
+    def root_of_unity(cls, order: int):
+        return cls.encode_int(cls.root_of_unity_int(order))
+
+    @classmethod
+    def encode(cls, ints):
+        return cls.encode_ints(ints)
+
+    @classmethod
+    def to_bytes_words(cls, a):
+        """Canonical little-endian u32 words for hashing: [..., 8].
+
+        Packs pairs of 16-bit digits into u32 words; the result is exactly
+        the canonical 32-byte little-endian encoding of the element.
+        """
+        canonical = cls.from_mont(a)
+        lo = canonical[..., 0::2]
+        hi = canonical[..., 1::2]
+        return lo | (hi << 16)

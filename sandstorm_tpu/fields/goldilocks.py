@@ -1,0 +1,243 @@
+"""Goldilocks prime field p = 2^64 - 2^32 + 1 as vectorized uint32-pair kernels.
+
+The reference stack exposes this field as
+``ministark_gpu::fields::p18446744069414584321`` (see /root/reference
+cli/src/main.rs:104-110, where the Goldilocks path is dispatched).  Here it is
+implemented TPU-natively: an element is a ``[..., 2]`` uint32 array
+``(lo, hi)`` and every op is a branchless VPU-friendly expression.
+
+Reduction uses the special form of p: 2^64 = 2^32 - 1 (mod p) and
+2^96 = -1 (mod p).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .u32 import (
+    U32, add32_carry, sub32_borrow, add64, sub64, mul64_wide, mul32_wide,
+)
+
+P = (1 << 64) - (1 << 32) + 1
+P_LO = U32(1)
+P_HI = U32(0xFFFFFFFF)
+EPS = U32(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
+
+
+class GL:
+    """Goldilocks field over uint32-limb arrays of shape [..., 2] (lo, hi)."""
+
+    NLIMBS = 2
+    MODULUS = P
+    TWO_ADICITY = 32
+    GENERATOR = 7
+    NAME = "goldilocks"
+
+    # -- representation ----------------------------------------------------
+
+    @staticmethod
+    def zeros(shape=()):
+        return jnp.zeros(tuple(shape) + (2,), dtype=U32)
+
+    @classmethod
+    def ones(cls, shape=()):
+        return jnp.broadcast_to(cls.encode_int(1), tuple(shape) + (2,))
+
+    @staticmethod
+    def encode_int(x):
+        """Python int -> canonical element array of shape [2]."""
+        x = x % P
+        return jnp.array([x & 0xFFFFFFFF, x >> 32], dtype=U32)
+
+    @staticmethod
+    def encode_ints(xs):
+        """Iterable/array of python ints -> [n, 2] uint32 array."""
+        arr = np.asarray([int(x) % P for x in xs], dtype=np.uint64)
+        out = np.empty(arr.shape + (2,), dtype=np.uint32)
+        out[..., 0] = arr & np.uint64(0xFFFFFFFF)
+        out[..., 1] = arr >> np.uint64(32)
+        return jnp.asarray(out)
+
+    @staticmethod
+    def encode_u64(arr):
+        """numpy uint64 array -> [..., 2] uint32 array (values must be < p)."""
+        arr = np.asarray(arr, dtype=np.uint64)
+        out = np.empty(arr.shape + (2,), dtype=np.uint32)
+        out[..., 0] = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        out[..., 1] = (arr >> np.uint64(32)).astype(np.uint32)
+        return jnp.asarray(out)
+
+    @staticmethod
+    def decode(arr):
+        """[..., 2] uint32 array -> numpy object array of python ints."""
+        a = np.asarray(jax.device_get(arr), dtype=np.uint64)
+        return (a[..., 0] | (a[..., 1] << np.uint64(32)))
+
+    @classmethod
+    def decode_ints(cls, arr):
+        flat = cls.decode(arr).ravel()
+        return [int(v) for v in flat]
+
+    # -- arithmetic --------------------------------------------------------
+
+    @staticmethod
+    def _cond_sub_p(lo, hi):
+        """Subtract p once if (lo, hi) >= p; input must be < 2p (mod 2^64 ok)."""
+        dlo, dhi, borrow = sub64(lo, hi, P_LO, P_HI)
+        keep = borrow.astype(jnp.bool_)
+        return jnp.where(keep, lo, dlo), jnp.where(keep, hi, dhi)
+
+    @classmethod
+    def add(cls, a, b):
+        alo, ahi = a[..., 0], a[..., 1]
+        blo, bhi = b[..., 0], b[..., 1]
+        lo, hi, c = add64(alo, ahi, blo, bhi)
+        # 2^64 = 2^32 - 1 (mod p): fold the carry back in (cannot re-overflow)
+        lo, hi, _ = add64(lo, hi, c * EPS, jnp.zeros_like(c))
+        lo, hi = cls._cond_sub_p(lo, hi)
+        return jnp.stack([lo, hi], axis=-1)
+
+    @staticmethod
+    def sub(a, b):
+        alo, ahi = a[..., 0], a[..., 1]
+        blo, bhi = b[..., 0], b[..., 1]
+        lo, hi, br = sub64(alo, ahi, blo, bhi)
+        # -2^64 = -(2^32 - 1) (mod p): on borrow subtract 2^32-1 more
+        lo, hi, _ = sub64(lo, hi, br * EPS, jnp.zeros_like(br))
+        return jnp.stack([lo, hi], axis=-1)
+
+    @classmethod
+    def neg(cls, a):
+        return cls.sub(jnp.zeros_like(a), a)
+
+    @classmethod
+    def reduce128(cls, w0, w1, w2, w3):
+        """Reduce a 128-bit value (w0..w3 uint32 words, LE) mod p.
+
+        Uses x = lo + hi_lo*2^64 + hi_hi*2^96 = lo + hi_lo*(2^32-1) - hi_hi.
+        """
+        hi_lo, hi_hi = w2, w3
+        # t = lo - hi_hi  (64-bit, wrapping); on borrow subtract 2^32-1
+        t_lo, t_hi, br = sub64(w0, w1, hi_hi, jnp.zeros_like(hi_hi))
+        t_lo, t_hi, _ = sub64(t_lo, t_hi, br * EPS, jnp.zeros_like(br))
+        # t1 = hi_lo * (2^32 - 1)
+        t1_lo, t1_hi = mul32_wide(hi_lo, EPS)
+        r_lo, r_hi, c = add64(t_lo, t_hi, t1_lo, t1_hi)
+        r_lo, r_hi, _ = add64(r_lo, r_hi, c * EPS, jnp.zeros_like(c))
+        r_lo, r_hi = cls._cond_sub_p(r_lo, r_hi)
+        return jnp.stack([r_lo, r_hi], axis=-1)
+
+    @classmethod
+    def mul(cls, a, b):
+        alo, ahi = a[..., 0], a[..., 1]
+        blo, bhi = b[..., 0], b[..., 1]
+        w0, w1, w2, w3 = mul64_wide(alo, ahi, blo, bhi)
+        return cls.reduce128(w0, w1, w2, w3)
+
+    @classmethod
+    def sqr(cls, a):
+        return cls.mul(a, a)
+
+    @classmethod
+    def mul_scalar(cls, a, s):
+        """Multiply array by a python-int scalar."""
+        return cls.mul(a, jnp.broadcast_to(cls.encode_int(s), a.shape))
+
+    @staticmethod
+    def eq(a, b):
+        return jnp.all(a == b, axis=-1)
+
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=-1)
+
+    # -- exponentiation / inversion ---------------------------------------
+
+    @classmethod
+    def pow_static(cls, a, e: int):
+        """a^e for a static python-int exponent (unrolled square & multiply)."""
+        if e == 0:
+            return cls.ones(a.shape[:-1])
+        result = None
+        base = a
+        while e > 0:
+            if e & 1:
+                result = base if result is None else cls.mul(result, base)
+            e >>= 1
+            if e:
+                base = cls.mul(base, base)
+        return result
+
+    @classmethod
+    def pow_bits_loop(cls, a, e: int, nbits: int = 64):
+        """a^e via an on-device fori_loop (small graph, sequential runtime).
+
+        Use for one-off exponentiations with large exponents (e.g. inversion
+        of a single element) where unrolling would bloat the graph.
+        """
+        bits = jnp.array([(e >> i) & 1 for i in range(nbits)], dtype=U32)
+        one = cls.ones(a.shape[:-1])
+
+        def body(i, carry):
+            result, base = carry
+            bit = bits[i]
+            mul_res = cls.mul(result, base)
+            result = jnp.where((bit == 1)[..., None], mul_res, result)
+            base = cls.mul(base, base)
+            return result, base
+
+        result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+        return result
+
+    @classmethod
+    def inv(cls, a):
+        """Batched modular inverse via Fermat (a^(p-2)); inv(0) = 0."""
+        return cls.pow_bits_loop(a, P - 2, 64)
+
+    @classmethod
+    def batch_inv(cls, a, axis=0):
+        """Montgomery batch inversion via two associative scans + one inv.
+
+        All elements must be nonzero (zero poisons the whole batch).
+        O(log n) depth of field muls instead of n sequential inversions.
+        """
+        n = a.shape[axis]
+        prefix = jax.lax.associative_scan(cls.mul, a, axis=axis)
+        total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=True)
+        total_inv = cls.inv(total)
+        # suffix scan on reversed array gives products a_i..a_{n-1}
+        suffix = jax.lax.associative_scan(cls.mul, a, axis=axis, reverse=True)
+        # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
+        ones = cls.ones(jax.lax.index_in_dim(a, 0, axis=axis, keepdims=True).shape[:-1])
+        prefix_shift = jnp.concatenate(
+            [ones, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=axis)], axis=axis)
+        suffix_shift = jnp.concatenate(
+            [jax.lax.slice_in_dim(suffix, 1, n, axis=axis), ones], axis=axis)
+        t = cls.mul(prefix_shift, suffix_shift)
+        return cls.mul(t, total_inv)
+
+    # -- roots of unity ----------------------------------------------------
+
+    @classmethod
+    def root_of_unity_int(cls, order: int) -> int:
+        assert order & (order - 1) == 0 and order <= (1 << cls.TWO_ADICITY)
+        return pow(cls.GENERATOR, (P - 1) // order, P)
+
+    @classmethod
+    def root_of_unity(cls, order: int):
+        return cls.encode_int(cls.root_of_unity_int(order))
+
+    # -- Montgomery-domain interface (identity for Goldilocks) -------------
+
+    IS_MONT = False
+
+    @classmethod
+    def encode(cls, ints):
+        return cls.encode_ints(ints)
+
+    @classmethod
+    def to_bytes_words(cls, a):
+        """Canonical little-endian u32 words for hashing: [..., 2]."""
+        return a
+
+    NUM_BYTES = 8
