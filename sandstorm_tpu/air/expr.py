@@ -1,0 +1,395 @@
+"""Symbolic AIR constraint expressions, traced to JAX for evaluation.
+
+Capability parity with miniSTARK's Expr<AlgebraicItem> constraint DAG
+(SURVEY.md §2.7; used throughout /root/reference layouts/src/*/air.rs):
+leaves are X, Constant, Trace(col, offset), Challenge(i), Hint(i),
+Periodic(i); ops are +, -, *, /, pow.  The same DAG serves:
+
+- batched evaluation over the LDE/constraint-evaluation domain (the hot
+  prover kernel, GPU-evaluated in the reference) — here each node maps to
+  whole-array field ops that XLA fuses on the TPU;
+- scalar evaluation at the OODS point (verifier and prover both), via the
+  same walker with [L]-shaped arrays.
+
+Hash-consing interns structurally-identical nodes, which both deduplicates
+the DAG (the analog of miniSTARK's reuse_shared_nodes,
+recursive/air.rs:1184-1200) and makes evaluation memoization effective.
+
+Division is represented as multiplication by an Inv node; inverses of
+full-domain denominators are batch-inverted with associative scans, and
+X^k-style zerofiers are evaluated on their short period and tiled.
+"""
+
+import jax.numpy as jnp
+
+
+_INTERN = {}
+
+
+def _intern(node):
+    got = _INTERN.get(node.key)
+    if got is not None:
+        return got
+    _INTERN[node.key] = node
+    return node
+
+
+class Expr:
+    """Base class. Subclasses define .key (structural identity) and .args."""
+
+    __slots__ = ("key", "args")
+
+    def __init__(self, key, args=()):
+        self.key = key
+        self.args = args
+
+    # -- operator sugar ----------------------------------------------------
+
+    def __add__(self, other):
+        return Add(self, _coerce(other))
+
+    def __radd__(self, other):
+        return Add(_coerce(other), self)
+
+    def __sub__(self, other):
+        return Sub(self, _coerce(other))
+
+    def __rsub__(self, other):
+        return Sub(_coerce(other), self)
+
+    def __mul__(self, other):
+        return Mul(self, _coerce(other))
+
+    def __rmul__(self, other):
+        return Mul(_coerce(other), self)
+
+    def __truediv__(self, other):
+        return Mul(self, Inv(_coerce(other)))
+
+    def __rtruediv__(self, other):
+        return Mul(_coerce(other), Inv(self))
+
+    def __neg__(self):
+        return Neg(self)
+
+    def pow(self, e: int):
+        return Pow(self, int(e))
+
+    __pow__ = pow
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return self is other or (isinstance(other, Expr) and self.key == other.key)
+
+
+def _coerce(v):
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, int):
+        return Constant(v)
+    raise TypeError(f"cannot coerce {type(v)} to Expr")
+
+
+def constant(v: int):
+    return Constant(v)
+
+
+# -- leaves -----------------------------------------------------------------
+
+class _X(Expr):
+    def __init__(self):
+        super().__init__(("X",))
+
+
+X = _intern(_X())
+
+
+def Constant(value: int):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("const", int(value)))
+    node = _intern(node)
+    return node
+
+
+def Trace(col: int, offset: int):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("trace", int(col), int(offset)))
+    return _intern(node)
+
+
+def Challenge(index: int):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("challenge", int(index)))
+    return _intern(node)
+
+
+def Hint(index: int):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("hint", int(index)))
+    return _intern(node)
+
+
+def Periodic(index: int):
+    """A periodic column (see recursive/air.rs:38-50); index into the
+    layout's periodic-column registry."""
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("periodic", int(index)))
+    return _intern(node)
+
+
+# -- interior nodes ----------------------------------------------------------
+
+def _binop(name, a, b):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, (name, a.key, b.key), (a, b))
+    return _intern(node)
+
+
+def Add(a, b):
+    return _binop("add", a, b)
+
+
+def Sub(a, b):
+    return _binop("sub", a, b)
+
+
+def Mul(a, b):
+    return _binop("mul", a, b)
+
+
+def Neg(a):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("neg", a.key), (a,))
+    return _intern(node)
+
+
+def Pow(a, e: int):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("pow", a.key, int(e)), (a,))
+    node.exponent = int(e)
+    return _intern(node)
+
+
+def Inv(a):
+    node = Expr.__new__(Expr)
+    Expr.__init__(node, ("inv", a.key), (a,))
+    return _intern(node)
+
+
+# make Pow nodes carry their exponent through interning
+class _PowProxy:
+    pass
+
+
+def _pow_exponent(node):
+    return node.key[2]
+
+
+# -- analysis ----------------------------------------------------------------
+
+def walk(exprs):
+    """Yield every unique node reachable from exprs (post-order)."""
+    seen = set()
+    out = []
+
+    def rec(n):
+        if id(n) in seen:
+            return
+        seen.add(id(n))
+        for a in n.args:
+            rec(a)
+        out.append(n)
+
+    for e in exprs:
+        rec(e)
+    return out
+
+
+def trace_arguments(exprs):
+    """Sorted set of (column, offset) pairs used by the expressions.
+
+    The analog of miniSTARK Air::trace_arguments() (src/lib.rs:105-110):
+    determines which out-of-domain trace evaluations the proof must supply.
+    """
+    args = set()
+    for n in walk(exprs):
+        if n.key[0] == "trace":
+            args.add((n.key[1], n.key[2]))
+    return sorted(args)
+
+
+# -- evaluation --------------------------------------------------------------
+
+class LdeContext:
+    """Everything needed to evaluate constraints over the LDE domain.
+
+    - F: field class
+    - columns: dict col_index -> [N, L] LDE evaluations (natural order)
+    - blowup: LDE blowup factor (trace offset k => array roll by k*blowup)
+    - domain: callable () -> [N, L] domain points (coset * w^i); evaluated
+      lazily since many constraint sets only need X through powers
+    - x_pow: callable (e) -> [N, L] array of domain^e, expected to exploit
+      periodicity
+    - challenges / hints: lists of [L] arrays
+    - periodic: list of callables () -> [N, L] evaluations
+    """
+
+    def __init__(self, F, columns, blowup, domain_fn, x_pow_fn,
+                 challenges=(), hints=(), periodic=()):
+        self.F = F
+        self.columns = columns
+        self.blowup = blowup
+        self.domain_fn = domain_fn
+        self.x_pow_fn = x_pow_fn
+        self.challenges = challenges
+        self.hints = hints
+        self.periodic = periodic
+        self.memo = {}
+
+
+def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
+    """Evaluate expressions over the whole LDE domain; returns list of [N, L].
+
+    Memoized over the hash-consed DAG.  Values are tracked as
+    (array, period) pairs: zerofier-style subexpressions built from X^e are
+    periodic over the domain (period = N/gcd(N, e), a power of two), so they
+    are computed — and crucially batch-INVERTED — on their short period and
+    only tiled up when they meet a full-length value.  period=0 denotes a
+    scalar ([L]-shaped) value.
+    """
+    F = ctx.F
+    memo = ctx.memo
+    N = domain_size
+    if N is None:
+        N = next(iter(ctx.columns.values())).shape[0]
+
+    def tile_to(val, period, target):
+        if period == target:
+            return val
+        if period == 0:
+            return jnp.broadcast_to(val, (target,) + val.shape)
+        return jnp.tile(val, (target // period, 1))
+
+    def combine(op_fn, a, pa, b, pb):
+        p = max(pa, pb)
+        return op_fn(tile_to(a, pa, p), tile_to(b, pb, p)), p
+
+    def ev(n):
+        r = memo.get(id(n))
+        if r is not None:
+            return r
+        k = n.key
+        op = k[0]
+        if op == "X":
+            r = (ctx.domain_fn(), N)
+        elif op == "const":
+            r = (F.encode_int(k[1]), 0)
+        elif op == "trace":
+            col, off = k[1], k[2]
+            arr = ctx.columns[col]
+            shift = (off * ctx.blowup) % arr.shape[0]
+            r = (jnp.roll(arr, -shift, axis=0) if shift else arr, N)
+        elif op == "challenge":
+            r = (ctx.challenges[k[1]], 0)
+        elif op == "hint":
+            r = (ctx.hints[k[1]], 0)
+        elif op == "periodic":
+            arr = ctx.periodic[k[1]]()
+            r = (arr, arr.shape[0])
+        elif op in ("add", "sub", "mul"):
+            a, pa = ev(n.args[0])
+            b, pb = ev(n.args[1])
+            r = combine(getattr(F, op), a, pa, b, pb)
+        elif op == "neg":
+            a, pa = ev(n.args[0])
+            r = (F.neg(a), pa)
+        elif op == "pow":
+            e = k[2]
+            base = n.args[0]
+            if base.key[0] == "X":
+                import math
+                period = N // math.gcd(N, e)
+                r = (ctx.x_pow_fn(e, period), period)
+            else:
+                a, pa = ev(base)
+                r = (F.pow_static(a, e), pa)
+        elif op == "inv":
+            v, pv = ev(n.args[0])
+            if pv == 0:
+                r = (F.inv(v), 0)
+            else:
+                r = (F.batch_inv(v, axis=0), pv)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown node {op}")
+        memo[id(n)] = r
+        return r
+
+    out = []
+    for e in exprs:
+        v, p = ev(e)
+        out.append(tile_to(v, p, N))
+    return out
+
+
+class ScalarContext:
+    """Evaluate constraints at a single (OODS) point.
+
+    - x: [L] the point
+    - trace_values: dict (col, offset) -> [L]
+    - challenges / hints: lists of [L]
+    - periodic_values: list of [L] (periodic columns evaluated at the point)
+    """
+
+    def __init__(self, F, x, trace_values, challenges=(), hints=(),
+                 periodic_values=()):
+        self.F = F
+        self.x = x
+        self.trace_values = trace_values
+        self.challenges = challenges
+        self.hints = hints
+        self.periodic_values = periodic_values
+        self.memo = {}
+
+
+def evaluate_scalar(exprs, ctx: ScalarContext):
+    F = ctx.F
+    memo = ctx.memo
+
+    def ev(n):
+        r = memo.get(id(n))
+        if r is not None:
+            return r
+        k = n.key
+        op = k[0]
+        if op == "X":
+            r = ctx.x
+        elif op == "const":
+            r = F.encode_int(k[1])
+        elif op == "trace":
+            r = ctx.trace_values[(k[1], k[2])]
+        elif op == "challenge":
+            r = ctx.challenges[k[1]]
+        elif op == "hint":
+            r = ctx.hints[k[1]]
+        elif op == "periodic":
+            r = ctx.periodic_values[k[1]]
+        elif op == "add":
+            r = F.add(ev(n.args[0]), ev(n.args[1]))
+        elif op == "sub":
+            r = F.sub(ev(n.args[0]), ev(n.args[1]))
+        elif op == "mul":
+            r = F.mul(ev(n.args[0]), ev(n.args[1]))
+        elif op == "neg":
+            r = F.neg(ev(n.args[0]))
+        elif op == "pow":
+            r = F.pow_static(ev(n.args[0]), k[2])
+        elif op == "inv":
+            r = F.inv(ev(n.args[0]))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown node {op}")
+        memo[id(n)] = r
+        return r
+
+    return [ev(e) for e in exprs]

@@ -358,3 +358,15 @@ class Fp252:
         lo = canonical[..., 0::2]
         hi = canonical[..., 1::2]
         return lo | (hi << 16)
+
+
+# jit-wrap the hot public ops (see _jit.py for rationale)
+from ._jit import jit_class_ops as _jit_class_ops  # noqa: E402
+
+_jit_class_ops(
+    Fp252,
+    ["add", "sub", "neg", "mul", "sqr", "inv", "from_mont", "to_bytes_words",
+     "to_mont_digits"],
+    static=[("pow_static", (1,)), ("pow_bits_loop", (1, 2)), ("batch_inv", (1,)),
+            ("mul_scalar", (1,))],
+)

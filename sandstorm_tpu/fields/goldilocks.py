@@ -241,3 +241,14 @@ class GL:
         return a
 
     NUM_BYTES = 8
+
+
+# jit-wrap the hot public ops (see _jit.py for rationale)
+from ._jit import jit_class_ops as _jit_class_ops  # noqa: E402
+
+_jit_class_ops(
+    GL,
+    ["add", "sub", "neg", "mul", "sqr", "inv", "reduce128"],
+    static=[("pow_static", (1,)), ("pow_bits_loop", (1, 2)), ("batch_inv", (1,)),
+            ("mul_scalar", (1,))],
+)

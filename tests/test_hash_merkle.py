@@ -1,0 +1,57 @@
+"""Blake2s device kernel vs hashlib; Merkle build/prove/verify roundtrip
+(the reference's Merkle roundtrip tests live in crypto/src/merkle/mod.rs)."""
+
+import hashlib
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from sandstorm_tpu.hashing.blake2s import blake2s_words
+from sandstorm_tpu.merkle import MerkleTree
+from sandstorm_tpu.fields.fp252 import Fp252
+
+
+def _words_to_bytes(words):
+    return b"".join(int(w).to_bytes(4, "little") for w in words)
+
+
+def test_blake2s_vs_hashlib():
+    rng = random.Random(42)
+    for nwords in [1, 8, 16, 17, 32, 40]:
+        batch = 5
+        data = np.array(
+            [[rng.randrange(1 << 32) for _ in range(nwords)] for _ in range(batch)],
+            dtype=np.uint32)
+        got = np.asarray(blake2s_words(jnp.asarray(data)))
+        for i in range(batch):
+            msg = b"".join(int(w).to_bytes(4, "little") for w in data[i])
+            expected = hashlib.blake2s(msg, digest_size=32).digest()
+            assert _words_to_bytes(got[i]) == expected, f"nwords={nwords} row={i}"
+
+
+def test_blake2s_empty():
+    got = np.asarray(blake2s_words(jnp.zeros((1, 0), dtype=jnp.uint32)))
+    assert _words_to_bytes(got[0]) == hashlib.blake2s(b"", digest_size=32).digest()
+
+
+def test_merkle_roundtrip():
+    rng = random.Random(7)
+    n = 32
+    p = Fp252.MODULUS
+    col1 = Fp252.encode_ints([rng.randrange(p) for _ in range(n)])
+    col2 = Fp252.encode_ints([rng.randrange(p) for _ in range(n)])
+    words = [Fp252.to_bytes_words(col1), Fp252.to_bytes_words(col2)]
+    tree = MerkleTree.from_matrix_columns(words)
+    root = tree.root
+
+    w1 = np.asarray(words[0])
+    w2 = np.asarray(words[1])
+    for idx in [0, 1, 13, 31]:
+        row_bytes = _words_to_bytes(w1[idx]) + _words_to_bytes(w2[idx])
+        leaf = MerkleTree.hash_row_host(row_bytes)
+        path = tree.prove(idx)
+        assert MerkleTree.verify(root, idx, leaf, path)
+        # tampered leaf must fail
+        bad = hashlib.blake2s(b"bad", digest_size=32).digest()
+        assert not MerkleTree.verify(root, idx, bad, path)
