@@ -167,8 +167,7 @@ def Neg(a):
 
 def Pow(a, e: int):
     node = Expr.__new__(Expr)
-    Expr.__init__(node, ("pow", a.key, int(e)), (a,))
-    node.exponent = int(e)
+    Expr.__init__(node, ("pow", a.key, int(e)), (a,))  # exponent = key[2]
     return _intern(node)
 
 
@@ -176,15 +175,6 @@ def Inv(a):
     node = Expr.__new__(Expr)
     Expr.__init__(node, ("inv", a.key), (a,))
     return _intern(node)
-
-
-# make Pow nodes carry their exponent through interning
-class _PowProxy:
-    pass
-
-
-def _pow_exponent(node):
-    return node.key[2]
 
 
 # -- analysis ----------------------------------------------------------------
@@ -387,6 +377,69 @@ def evaluate_scalar(exprs, ctx: ScalarContext):
             r = F.pow_static(ev(n.args[0]), k[2])
         elif op == "inv":
             r = F.inv(ev(n.args[0]))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown node {op}")
+        memo[id(n)] = r
+        return r
+
+    return [ev(e) for e in exprs]
+
+
+class IntContext:
+    """Host-side scalar evaluation with python big-ints (verifier path).
+
+    - modulus: field modulus p
+    - x: the evaluation point (int)
+    - trace_values: dict (col, offset) -> int
+    - challenges / hints / periodic_values: lists of ints
+    """
+
+    def __init__(self, modulus, x, trace_values, challenges=(), hints=(),
+                 periodic_values=()):
+        self.p = modulus
+        self.x = x
+        self.trace_values = trace_values
+        self.challenges = challenges
+        self.hints = hints
+        self.periodic_values = periodic_values
+        self.memo = {}
+
+
+def evaluate_int(exprs, ctx: IntContext):
+    """Evaluate expressions at a point using python ints (no device)."""
+    p = ctx.p
+    memo = ctx.memo
+
+    def ev(n):
+        r = memo.get(id(n))
+        if r is not None:
+            return r
+        k = n.key
+        op = k[0]
+        if op == "X":
+            r = ctx.x % p
+        elif op == "const":
+            r = k[1] % p
+        elif op == "trace":
+            r = ctx.trace_values[(k[1], k[2])] % p
+        elif op == "challenge":
+            r = ctx.challenges[k[1]] % p
+        elif op == "hint":
+            r = ctx.hints[k[1]] % p
+        elif op == "periodic":
+            r = ctx.periodic_values[k[1]] % p
+        elif op == "add":
+            r = (ev(n.args[0]) + ev(n.args[1])) % p
+        elif op == "sub":
+            r = (ev(n.args[0]) - ev(n.args[1])) % p
+        elif op == "mul":
+            r = ev(n.args[0]) * ev(n.args[1]) % p
+        elif op == "neg":
+            r = -ev(n.args[0]) % p
+        elif op == "pow":
+            r = pow(ev(n.args[0]), k[2], p)
+        elif op == "inv":
+            r = pow(ev(n.args[0]), p - 2, p)
         else:  # pragma: no cover
             raise ValueError(f"unknown node {op}")
         memo[id(n)] = r

@@ -1,0 +1,41 @@
+"""Claim assembly: ties a Cairo program + public input to a layout AIR,
+trace builder, field, and transcript — the analog of the reference's
+CairoClaim<Fp, A, T, M, P> (src/lib.rs:34-125) and its type aliases
+(src/claims.rs:12-33).
+"""
+
+from .binary.formats import Layout
+from .fields.fp252 import Fp252
+from .layouts.plain.air import PlainAirConfig
+from .layouts.plain.trace import PlainExecutionTrace
+from .stark.options import ProofOptions
+from .stark.prover import prove as stark_prove
+from .stark.verifier import verify as stark_verify
+
+
+_LAYOUTS = {
+    Layout.PLAIN: (PlainAirConfig, PlainExecutionTrace),
+}
+
+
+class CairoClaim:
+    def __init__(self, program, public_input, field=Fp252, layout=None):
+        self.program = program
+        self.public_input = public_input
+        self.F = field
+        self.layout = layout or public_input.layout
+        if self.layout not in _LAYOUTS:
+            raise NotImplementedError(
+                f"layout {self.layout} not yet implemented")
+        self.air_config, self.trace_cls = _LAYOUTS[self.layout]
+
+    def generate_trace(self, witness):
+        return self.trace_cls(self.F, self.program, self.public_input, witness)
+
+    def prove(self, witness, options: ProofOptions = None):
+        trace = self.generate_trace(witness)
+        return stark_prove(self.F, self.air_config, trace, options)
+
+    def verify(self, proof, required_security_bits: int = 80) -> bool:
+        return stark_verify(self.F, self.air_config, self.public_input,
+                            proof, required_security_bits)

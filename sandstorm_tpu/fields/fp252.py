@@ -93,50 +93,52 @@ def _cond_sub_p(digits):
     return [jnp.where(keep, d, dd) for d, dd in zip(digits, diff)]
 
 
-def _dmul(a_digits, b_digits):
-    """Schoolbook 16x16-digit product -> 32 normalized digits (< 2^16)."""
-    n = NDIGITS
-    # column accumulators: lo/hi 16-bit halves of partial products
-    acc_lo = [None] * (2 * n - 1)
-    acc_hi = [None] * (2 * n - 1)
+def _dmul_loose(a, b):
+    """Tensorized 16x16-digit product -> 32 'loose' digits (each < 2^21).
 
-    def _acc(slot_list, k, v):
-        slot_list[k] = v if slot_list[k] is None else slot_list[k] + v
-
-    for i in range(n):
-        ai = a_digits[i]
-        for j in range(n):
-            prod = ai * b_digits[j]  # < 2^32, exact in u32
-            _acc(acc_lo, i + j, prod & MASK16)
-            _acc(acc_hi, i + j, prod >> 16)
-
-    # combine: digit k gets acc_lo[k] + acc_hi[k-1]; each sum < 2^21
-    loose = []
-    for k in range(2 * n):
-        v = None
-        if k < 2 * n - 1 and acc_lo[k] is not None:
-            v = acc_lo[k]
-        if k >= 1 and acc_hi[k - 1] is not None:
-            v = acc_hi[k - 1] if v is None else v + acc_hi[k - 1]
-        loose.append(v if v is not None else jnp.zeros_like(a_digits[0]))
-    out, carry = _carry_propagate(loose, 2 * n)
-    # product < 2^504 so there is no carry out of digit 31
-    return out
-
-
-def _redc(t_digits):
-    """Montgomery reduction of a 32-digit value: returns t/R mod p, < p.
-
-    Exploits p's sparse digits: each round adds m*(1 + 17*2^192 + 2^251)
-    shifted by the round index, i.e. four multiply-adds.
+    One outer product + a skew-reshape gives all anti-diagonal column sums
+    in a handful of XLA ops (compile-time matters: the schoolbook loop
+    version generated ~1000 HLO ops per multiply and made XLA compilation
+    the dominant cost).  Carries are NOT propagated: _redc tolerates loose
+    digits because digit i receives no further contributions once the REDC
+    round reaches it.
     """
-    t = list(t_digits) + [jnp.zeros_like(t_digits[0])]  # headroom slot 32
+    # P[..., i, j] = a_i * b_j  (< 2^32, exact in u32)
+    prod = a[..., :, None] * b[..., None, :]
+    p_lo = prod & MASK16
+    p_hi = prod >> 16
+
+    def columns(P):
+        """S[k] = sum_{i+j=k} P[i, j] for k in 0..30 via the skew trick."""
+        batch = P.shape[:-2]
+        padded = jnp.pad(P, [(0, 0)] * len(batch) + [(0, 0), (0, 16)])
+        flat = padded.reshape(batch + (512,))[..., :496]
+        skew = flat.reshape(batch + (16, 31))
+        return jnp.sum(skew, axis=-2)  # [..., 31], each < 2^20
+
+    s_lo = columns(p_lo)
+    s_hi = columns(p_hi)
+    # loose digit k = s_lo[k] + s_hi[k-1]
+    zeros = jnp.zeros_like(s_lo[..., :1])
+    loose = jnp.concatenate([s_lo, zeros], axis=-1) \
+        + jnp.concatenate([zeros, s_hi], axis=-1)
+    return loose  # [..., 32]
+
+
+def _redc(t_loose):
+    """Montgomery reduction of 32 loose digits (< 2^22): t/R mod p, < p.
+
+    Exploits p's sparse base-2^16 digits (1, 17@12, 0x800@15): each round
+    adds m*(1 + 17*2^192 + 2^251) shifted by the round index — four
+    multiply-adds.  Round i only needs digit i fully accumulated, which
+    holds because contributions land at offsets >= +12.
+    """
+    t = [t_loose[..., i] for i in range(32)] + [jnp.zeros_like(t_loose[..., 0])]
     c = jnp.zeros_like(t[0])
     for i in range(NDIGITS):
         ti = t[i] + c
         m = (jnp.zeros_like(ti) - ti) & MASK16  # (-t_i) mod 2^16
-        ti = ti + m  # now ≡ 0 (mod 2^16)
-        c = ti >> 16
+        c = (ti + m) >> 16
         m17 = m * U32(17)
         t[i + 12] = t[i + 12] + (m17 & MASK16)
         t[i + 13] = t[i + 13] + (m17 >> 16)
@@ -180,10 +182,19 @@ class Fp252:
         return jnp.array(_int_to_digits(mont), dtype=U32)
 
     @classmethod
+    def encode_ints_np(cls, xs):
+        """Iterable of python ints -> numpy [n, 16] Montgomery digit array.
+
+        Bulk conversion via a single bytes buffer (fast for large tables).
+        Numpy return type makes the result safe to cache across jit traces."""
+        buf = b"".join(((int(x) % P) * R % P).to_bytes(32, "little")
+                       for x in xs)
+        n = len(buf) // 32
+        return np.frombuffer(buf, dtype="<u2").reshape(n, 16).astype(np.uint32)
+
+    @classmethod
     def encode_ints(cls, xs):
-        arr = np.array(
-            [_int_to_digits((int(x) % P) * R % P) for x in xs], dtype=np.uint32)
-        return jnp.asarray(arr)
+        return jnp.asarray(cls.encode_ints_np(xs))
 
     @classmethod
     def encode_canonical_u64(cls, arr):
@@ -255,8 +266,7 @@ class Fp252:
 
     @classmethod
     def _montmul(cls, a, b):
-        prod = _dmul(_unstack(a), _unstack(b))
-        return _stack(_redc(prod))
+        return _stack(_redc(_dmul_loose(a, b)))
 
     @classmethod
     def mul(cls, a, b):
@@ -366,7 +376,7 @@ from ._jit import jit_class_ops as _jit_class_ops  # noqa: E402
 _jit_class_ops(
     Fp252,
     ["add", "sub", "neg", "mul", "sqr", "inv", "from_mont", "to_bytes_words",
-     "to_mont_digits"],
+     "to_mont_digits", "_montmul"],
     static=[("pow_static", (1,)), ("pow_bits_loop", (1, 2)), ("batch_inv", (1,)),
             ("mul_scalar", (1,))],
 )

@@ -50,13 +50,14 @@ class GL:
         return jnp.array([x & 0xFFFFFFFF, x >> 32], dtype=U32)
 
     @staticmethod
-    def encode_ints(xs):
-        """Iterable/array of python ints -> [n, 2] uint32 array."""
-        arr = np.asarray([int(x) % P for x in xs], dtype=np.uint64)
-        out = np.empty(arr.shape + (2,), dtype=np.uint32)
-        out[..., 0] = arr & np.uint64(0xFFFFFFFF)
-        out[..., 1] = arr >> np.uint64(32)
-        return jnp.asarray(out)
+    def encode_ints_np(xs):
+        """Iterable of python ints -> numpy [n, 2] uint32 array."""
+        buf = b"".join((int(x) % P).to_bytes(8, "little") for x in xs)
+        return np.frombuffer(buf, dtype="<u4").reshape(-1, 2).copy()
+
+    @classmethod
+    def encode_ints(cls, xs):
+        return jnp.asarray(cls.encode_ints_np(xs))
 
     @staticmethod
     def encode_u64(arr):

@@ -30,16 +30,35 @@ def bit_reverse_perm(n: int) -> np.ndarray:
 
 
 def powers(F, base, count: int):
-    """[count, L] array of base^0 .. base^(count-1) via an associative scan."""
+    """[count, L] array of base^0 .. base^(count-1) via an associative scan.
+
+    For a *python-int* base prefer powers_host (zero compile cost)."""
     base = jnp.asarray(base)
     seq = jnp.concatenate(
         [F.ones((1,)), jnp.broadcast_to(base, (count - 1,) + base.shape)], axis=0)
     return jax.lax.associative_scan(F.mul, seq, axis=0)
 
 
+@functools.lru_cache(maxsize=256)
+def powers_host(F, base: int, count: int):
+    """[count, L] device array of base^0..base^(count-1), computed host-side.
+
+    Static twiddle/power tables are python-int chains + one bulk encode;
+    this keeps XLA graphs free of log-depth scan towers (compile time).
+    Cached per (field, base, count).
+    """
+    p = F.MODULUS
+    vals = [1] * count
+    x = 1
+    for i in range(1, count):
+        x = x * base % p
+        vals[i] = x
+    return F.encode_ints_np(vals)  # numpy: safe to cache across jit traces
+
+
 @functools.lru_cache(maxsize=None)
-def _twiddle_table(F, n: int, inverse: bool):
-    """Powers w^0..w^(n/2-1) of the order-n root (or its inverse), on device.
+def _wpow_table(F, n: int, inverse: bool):
+    """Full power table w^0..w^(n-1) (or of w^-1), on device.
 
     Computed eagerly even when first requested inside a jit trace (the table
     is a compile-time constant of the NTT kernel).
@@ -47,13 +66,40 @@ def _twiddle_table(F, n: int, inverse: bool):
     w = F.root_of_unity_int(n)
     if inverse:
         w = pow(w, -1, F.MODULUS)
-    with jax.ensure_compile_time_eval():
-        return jax.device_get(powers(F, F.encode_int(w), max(n // 2, 1)))
+    return powers_host(F, w, n)
 
 
 @functools.lru_cache(maxsize=None)
 def _bitrev(n: int):
     return bit_reverse_perm(n)  # numpy; becomes a per-trace constant
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables(n: int):
+    """Per-stage gather indices + twiddle exponents for the uniform-stage
+    radix-2 DIT butterfly network.
+
+    Every stage is expressed in the SAME shape —
+        out[k] = x[idxA[k]] + w^twexp[k] * x[idxB[k]]
+    (the minus branch is folded into the exponent via w^(n/2) = -1) — so the
+    whole NTT compiles as ONE lax.scan body instead of log2(n) distinct
+    unrolled stages.  Compile time is O(1) in n; this is what makes the
+    2^20-point NTT compile in seconds rather than tens of minutes.
+    """
+    logn = n.bit_length() - 1
+    k = np.arange(n, dtype=np.int64)
+    idxA = np.zeros((logn, n), dtype=np.int32)
+    idxB = np.zeros((logn, n), dtype=np.int32)
+    twexp = np.zeros((logn, n), dtype=np.int32)
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        j = k % m
+        lower = j < half
+        idxA[s - 1] = np.where(lower, k, k - half)
+        idxB[s - 1] = np.where(lower, k + half, k)
+        twexp[s - 1] = (n // m) * (j % half) + np.where(lower, 0, n // 2)
+    return idxA, idxB, twexp
 
 
 def ntt(F, a, inverse: bool = False):
@@ -65,20 +111,18 @@ def ntt(F, a, inverse: bool = False):
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
-    logn = n.bit_length() - 1
-    tw = _twiddle_table(F, n, inverse)
+    wpow = _wpow_table(F, n, inverse)
+    idxA, idxB, twexp = _stage_tables(n)
 
     a = a[_bitrev(n)]
-    for s in range(1, logn + 1):
-        m = 1 << s
-        half = m >> 1
-        stage_tw = tw[:: n // m] if m < n else tw  # w_m^j for j < half
-        x = a.reshape(n // m, m, -1)
-        even = x[:, :half]
-        odd = x[:, half:]
-        t = F.mul(odd, stage_tw[None, :, :])
-        a = jnp.concatenate([F.add(even, t), F.sub(even, t)], axis=1)
-        a = a.reshape(n, -1)
+
+    def stage(x, inputs):
+        ia, ib, te = inputs
+        tw = wpow[te]
+        return F.add(x[ia], F.mul(x[ib], tw)), None
+
+    a, _ = jax.lax.scan(
+        stage, a, (jnp.asarray(idxA), jnp.asarray(idxB), jnp.asarray(twexp)))
     if inverse:
         n_inv = F.encode_int(pow(n, -1, F.MODULUS))
         a = F.mul(a, jnp.broadcast_to(n_inv, a.shape))
@@ -109,8 +153,7 @@ def coset_eval_from_coeffs(F, coeffs, N: int, coset: int):
     """Evaluate a polynomial (coeff form, [n, L]) on {coset * w_N^i}."""
     n = coeffs.shape[0]
     assert N >= n
-    c_pows = powers(F, F.encode_int(coset), n)
-    scaled = F.mul(coeffs, c_pows)
+    scaled = F.mul(coeffs, powers_host(F, coset, n))
     if N > n:
         scaled = jnp.concatenate(
             [scaled, jnp.zeros((N - n,) + scaled.shape[1:], dtype=scaled.dtype)],

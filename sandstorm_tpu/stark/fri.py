@@ -1,0 +1,154 @@
+"""FRI low-degree proof: device-side folding, host-side per-query checks.
+
+Engine parity with miniSTARK's FRI (fold factor 8, remainder cap — proof
+options at /root/reference cli/src/main.rs:51-60).  The fold of a factor-f
+layer is an f-point inverse DFT per coset expressed as f^2 scalar-array
+multiply-adds plus a Horner combine — whole-array ops that XLA fuses and,
+later, an MXU-shaped f x f matmul.
+
+Math: with P(x) = sum_j x^j Q_j(x^f), the committed layer rows are the
+cosets {x_i * mu^t} (mu = w^(N/f) the order-f root).  Then
+
+    Q_j(y_i) = (1/f) * x_i^{-j} * sum_t mu^{-tj} P(x_i mu^t)
+    P'(y_i)  = sum_j beta^j Q_j(y_i)        (y_i = x_i^f, next-layer domain)
+
+Layer l lives on the coset c^(f^l) * <w_N^(f^l)> and its evaluations are
+committed as [N_l/f, f] rows so one Merkle row serves a whole fold coset.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..merkle import MerkleTree
+from ..ntt import intt, powers_host
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
+    """One FRI fold on device: [N, L] -> [N/f, L].
+
+    coset: the layer's coset offset (python int); beta: [L] field element.
+    """
+    p = F.MODULUS
+    N = layer_size
+    assert evals.shape[0] == N
+    w = F.root_of_unity_int(N)
+    w_inv = pow(w, -1, p)
+    mu_inv = pow(w_inv, N // f, p)  # mu^{-1}
+    f_inv = pow(f, -1, p)
+
+    E = evals.reshape(f, N // f, -1)  # E[t, i] = P(x_i * mu^t)
+
+    # inner[j] = (1/f) * sum_t mu^{-tj} E[t]
+    inner = []
+    for j in range(f):
+        acc = None
+        for t in range(f):
+            coeff = F.encode_int(pow(mu_inv, t * j, p) * f_inv % p)
+            term = F.mul(E[t], jnp.broadcast_to(coeff, E[t].shape))
+            acc = term if acc is None else F.add(acc, term)
+        inner.append(acc)
+
+    # bx[i] = beta / x_i  with x_i = coset * w^i
+    cinv = pow(coset, -1, p)
+    xinv = powers_host(F, w_inv, N // f)
+    bx = F.mul(F.mul(xinv, jnp.broadcast_to(F.encode_int(cinv), xinv.shape)),
+               jnp.broadcast_to(beta, xinv.shape))
+
+    # Horner over j: result = sum_j (beta/x)^j inner[j]
+    res = inner[f - 1]
+    for j in range(f - 2, -1, -1):
+        res = F.add(F.mul(res, bx), inner[j])
+    return res
+
+
+def fri_fold_host(p: int, row, i: int, layer_size: int, coset: int,
+                  w: int, f: int, beta: int) -> int:
+    """Verifier-side fold of one committed row (python ints).
+
+    row: the f values [P(x_i mu^t)]_t at reduced index i of the layer.
+    """
+    mu_inv = pow(w, -(layer_size // f), p)
+    f_inv = pow(f, -1, p)
+    x_inv = pow(coset * pow(w, i, p) % p, -1, p)
+    acc = 0
+    bx = beta * x_inv % p
+    for j in range(f - 1, -1, -1):
+        q_j = sum(pow(mu_inv, t * j, p) * row[t] for t in range(f)) * f_inv % p
+        acc = (acc * bx + q_j) % p
+    return acc
+
+
+def layer_rows(evals, f: int):
+    """[N, L] evals -> [N/f, f*L] committed row array (device)."""
+    N = evals.shape[0]
+    E = evals.reshape(f, N // f, -1)
+    return jnp.transpose(E, (1, 0, 2))  # [N/f, f, L]
+
+
+class FriProver:
+    """Drives commit-then-fold layers; the transcript lives in the caller."""
+
+    def __init__(self, F, options, domain_size: int, coset: int):
+        self.F = F
+        self.options = options
+        self.N0 = domain_size
+        self.coset0 = coset
+        self.layers = []        # list of (tree, rows_canonical_words, layer_size, coset)
+        self.remainder = None   # list of python ints (coefficients)
+
+    def num_layers(self):
+        """Layer sizes chosen like the engine: fold while the degree bound
+        exceeds fri_max_remainder_coeffs."""
+        sizes = []
+        N = self.N0
+        f = self.options.fri_folding_factor
+        b = self.options.lde_blowup_factor
+        while N // b > self.options.fri_max_remainder_coeffs and N >= f:
+            sizes.append(N)
+            N //= f
+        return sizes
+
+    def commit_layer(self, evals, layer_size, coset):
+        F = self.F
+        f = self.options.fri_folding_factor
+        rows = layer_rows(evals, f)  # [N/f, f, L]
+        words = F.to_bytes_words(rows)  # [N/f, f, words-per-felt]
+        tree = MerkleTree.from_matrix_columns(
+            [words.reshape(layer_size // f, -1)])
+        self.layers.append((tree, rows, layer_size, coset))
+        return tree.root
+
+    def fold(self, evals, layer_size, coset, beta_int):
+        F = self.F
+        f = self.options.fri_folding_factor
+        beta = F.encode_int(beta_int)
+        return fri_fold_device(F, evals, coset, layer_size, f, beta)
+
+    def finalize_remainder(self, evals, layer_size, coset):
+        """Interpolate the last layer into coefficients (unscaled coset)."""
+        F = self.F
+        p = F.MODULUS
+        coeffs = intt(F, evals)
+        coeffs = F.mul(coeffs, powers_host(F, pow(coset, -1, p), layer_size))
+        ints = F.decode_ints(coeffs)
+        bound = layer_size // self.options.lde_blowup_factor
+        assert all(v == 0 for v in ints[bound:]), \
+            "FRI remainder has degree above the bound"
+        self.remainder = ints[:bound]
+        return self.remainder
+
+    def open_query(self, index: int):
+        """Per-layer (row values, path) openings for a query at base index."""
+        openings = []
+        idx = index
+        for tree, rows, layer_size, coset in self.layers:
+            half = layer_size // self.options.fri_folding_factor
+            i = idx % half
+            row_vals = self.F.decode_ints(rows[i])
+            openings.append((row_vals, tree.prove(i)))
+            idx = i
+        return openings

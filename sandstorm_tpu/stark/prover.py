@@ -1,0 +1,267 @@
+"""The STARK prover pipeline.
+
+Engine parity with miniSTARK's Stark::prove as driven by the reference
+(call stack documented in SURVEY.md §3.1):
+
+  1. trace build (layout-specific, done by the caller)
+  2. interpolate + coset-LDE base columns (device NTT), Merkle-commit
+  3. draw challenges; build challenge-dependent extension columns
+     (associative-scan permutation products), LDE + commit
+  4. evaluate the symbolic constraint DAG over the CE domain (device),
+     fold into the composition polynomial with powers of one coefficient
+     (SHARP convention, src/lib.rs:102-116), split, commit
+  5. OODS point z: open trace polys at z*g^k and composition columns at
+     z^m; DEEP-compose with powers of a single draw
+  6. FRI commit/fold layers (device) + remainder
+  7. proof-of-work grind, query draw, Merkle/FRI decommits
+
+All heavy arrays live on device; the transcript and query assembly are
+host-side python ints.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..air.expr import LdeContext, evaluate_lde, trace_arguments
+from ..merkle import MerkleTree
+from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
+from .fri import FriProver
+from .options import ProofOptions
+from .proof import Proof, QueryOpening
+from .transcript import make_coin
+
+
+def _lde_and_coeffs(F, column, blowup, coset):
+    """[n, L] trace column -> (coeffs [n, L], lde [N, L])."""
+    coeffs = intt(F, column)
+    lde = coset_eval_from_coeffs(F, coeffs, column.shape[0] * blowup, coset)
+    return coeffs, lde
+
+
+def _commit_columns(F, lde_cols):
+    words = [F.to_bytes_words(c) for c in lde_cols]
+    return MerkleTree.from_matrix_columns(words)
+
+
+class _DomainCache:
+    def __init__(self, F, N, coset):
+        self.F = F
+        self.N = N
+        self.coset = coset
+        p = F.MODULUS
+        self.w = F.root_of_unity_int(N)
+        self._cache = {}
+
+    def domain(self):
+        return self.x_pow(1, self.N)
+
+    def x_pow(self, e, period=None):
+        """[period, L] array of (coset * w^i)^e; period = N/gcd(N, e)."""
+        F, p = self.F, self.F.MODULUS
+        if period is None:
+            period = self.N // math.gcd(self.N, e)
+        key = (e % (p - 1), period)
+        if key not in self._cache:
+            we = pow(self.w, e, p)
+            ce = F.encode_int(pow(self.coset, e, p))
+            tbl = powers_host(F, we, max(period, 1))
+            self._cache[key] = F.mul(tbl, jnp.broadcast_to(ce, tbl.shape))
+        return self._cache[key]
+
+
+def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
+    options = options or ProofOptions()
+    p = F.MODULUS
+    n = trace.trace_len
+    blowup = options.lde_blowup_factor
+    N = n * blowup
+    coset = F.GENERATOR
+    g = F.root_of_unity_int(n)
+    pub = trace.public_input
+
+    dom = _DomainCache(F, N, coset)
+    coin = make_coin(pub, options, n)
+
+    # -- 1/2: base trace commit -------------------------------------------
+    base_cols = trace.base_columns()
+    base_coeffs, base_lde = {}, {}
+    for i, col in base_cols.items():
+        base_coeffs[i], base_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
+    base_tree = _commit_columns(F, [base_lde[i] for i in sorted(base_lde)])
+    coin.reseed_with_digest(base_tree.root)
+
+    # -- 3: challenges + extension columns --------------------------------
+    challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
+    ext_cols = trace.build_extension_columns(challenges)
+    ext_coeffs, ext_lde = {}, {}
+    for i, col in ext_cols.items():
+        ext_coeffs[i], ext_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
+    ext_tree = _commit_columns(F, [ext_lde[i] for i in sorted(ext_lde)])
+    coin.reseed_with_digest(ext_tree.root)
+
+    # -- 4: constraint evaluation + composition ----------------------------
+    hints = air_config.gen_hints(n, pub, challenges, p)
+    alpha_comp = coin.draw_felt(p)
+    constraints = air_config.constraints(n, p, g)
+    ctx = LdeContext(
+        F,
+        columns={**base_lde, **ext_lde},
+        blowup=blowup,
+        domain_fn=dom.domain,
+        x_pow_fn=dom.x_pow,
+        challenges=[F.encode_int(c) for c in challenges],
+        hints=[F.encode_int(h) for h in hints],
+        periodic=[pc.lde_fn(F, dom) for pc in
+                  getattr(air_config, "PERIODIC_COLUMNS", [])],
+    )
+    cvals = evaluate_lde(constraints, ctx, domain_size=N)
+    # composition = sum_i alpha^i C_i via Horner (highest index first)
+    alpha_dev = F.encode_int(alpha_comp)
+    comp = cvals[-1]
+    for cv in reversed(cvals[:-1]):
+        comp = F.add(F.mul(comp, jnp.broadcast_to(alpha_dev, comp.shape)), cv)
+
+    # split C(x) = C0(x^2) + x*C1(x^2); commit [C0, C1] on the LDE domain
+    m = air_config.CE_BLOWUP_FACTOR
+    assert m == blowup == 2, "round-1 engine assumes ce blowup == lde blowup == 2"
+    comp_coeffs_all = intt(F, comp)
+    comp_coeffs_all = F.mul(comp_coeffs_all, powers_host(F, pow(coset, -1, p), N))
+    comp_col_coeffs = [comp_coeffs_all[j::m] for j in range(m)]
+    comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
+                for cc in comp_col_coeffs]
+    comp_tree = _commit_columns(F, comp_lde)
+    coin.reseed_with_digest(comp_tree.root)
+
+    # -- 5: OODS openings --------------------------------------------------
+    z = coin.draw_felt(p)
+    targs = trace_arguments(constraints)
+    all_coeffs = {**base_coeffs, **ext_coeffs}
+    # one traced powers table for z (compiled once per shape); the static
+    # g^off scalings come from cached host tables: z*g^off powers =
+    # zpow * powers(g^off)
+    offsets = sorted({off for (_, off) in targs})
+    zp = powers(F, F.encode_int(z), n)
+    oods_values = {}
+    for off in offsets:
+        gk = powers_host(F, pow(g, off % n, p), n)
+        zp_off = F.mul(zp, gk) if off % n else zp
+        for (col, o) in targs:
+            if o == off:
+                v = field_sum(F, F.mul(all_coeffs[col], zp_off), axis=0)
+                oods_values[(col, off)] = int(F.decode(v))
+    oods_trace_values = [oods_values[a] for a in targs]
+    z_m = pow(z, m, p)
+    zp_m = powers(F, F.encode_int(z_m), n)
+    oods_comp_values = [
+        int(F.decode(field_sum(F, F.mul(cc, zp_m), axis=0)))
+        for cc in comp_col_coeffs]
+    coin.reseed_with_field_elements(p, oods_trace_values + oods_comp_values)
+
+    # -- DEEP composition --------------------------------------------------
+    alpha_deep = coin.draw_felt(p)
+    deep = _deep_compose(
+        F, dom, targs, {**base_lde, **ext_lde}, comp_lde,
+        oods_trace_values, oods_comp_values, z, g, n, alpha_deep)
+
+    # -- 6: FRI ------------------------------------------------------------
+    fri = FriProver(F, options, N, coset)
+    fri_roots = []
+    evals = deep
+    layer_sizes = fri.num_layers()
+    f = options.fri_folding_factor
+    layer_coset = coset
+    for layer_size in layer_sizes:
+        root = fri.commit_layer(evals, layer_size, layer_coset)
+        fri_roots.append(root)
+        coin.reseed_with_digest(root)
+        beta = coin.draw_felt(p)
+        evals = fri.fold(evals, layer_size, layer_coset, beta)
+        layer_coset = pow(layer_coset, f, p)
+    remainder = fri.finalize_remainder(
+        evals, layer_sizes[-1] // f if layer_sizes else N, layer_coset)
+    coin.reseed_with_field_elements(p, remainder)
+
+    # -- 7: PoW + queries --------------------------------------------------
+    nonce = coin.grind_proof_of_work(options.proof_of_work_bits)
+    coin.reseed_with_int(nonce)
+    indices = coin.draw_queries(options.num_queries, N)
+
+    base_lde_list = [base_lde[i] for i in sorted(base_lde)]
+    ext_lde_list = [ext_lde[i] for i in sorted(ext_lde)]
+    openings = []
+    for idx in indices:
+        base_row = [int(F.decode(c[idx])) for c in base_lde_list]
+        ext_row = [int(F.decode(c[idx])) for c in ext_lde_list]
+        comp_row = [int(F.decode(c[idx])) for c in comp_lde]
+        fri_openings = fri.open_query(idx)
+        openings.append(QueryOpening(
+            base_row=base_row, ext_row=ext_row, comp_row=comp_row,
+            base_path=base_tree.prove(idx),
+            ext_path=ext_tree.prove(idx),
+            comp_path=comp_tree.prove(idx),
+            fri_rows=[r for r, _ in fri_openings],
+            fri_paths=[pth for _, pth in fri_openings],
+        ))
+
+    return Proof(
+        options=options, trace_len=n,
+        base_root=base_tree.root, ext_root=ext_tree.root,
+        comp_root=comp_tree.root,
+        oods_trace_values=oods_trace_values,
+        oods_comp_values=oods_comp_values,
+        fri_roots=fri_roots, fri_remainder=remainder,
+        pow_nonce=nonce, openings=openings,
+    )
+
+
+def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
+                  oods_comp_values, z, g, n, alpha_deep):
+    """DEEP polynomial evaluations over the LDE domain (device).
+
+    D(x) = sum_j a^j (T_j(x) - t_j)/(x - z g^{k_j})
+         + sum_l a^{T+l} (C_l(x) - c_l)/(x - z^m)
+
+    Terms sharing a denominator point are grouped; all the denominator
+    arrays are inverted in ONE flattened batch inversion.
+    """
+    p = F.MODULUS
+    m = len(comp_lde)
+    offsets = sorted({off for (_, off) in targs})
+    points = [z * pow(g, off % n, p) % p for off in offsets] + [pow(z, m, p)]
+    domain = dom.domain()
+
+    # numerators grouped per distinct point
+    coeff = 1
+    numer = {k: None for k in range(len(points))}
+    for j, (col, off) in enumerate(targs):
+        k = offsets.index(off)
+        t = F.encode_int(oods_trace_values[j])
+        term = F.sub(trace_lde[col], jnp.broadcast_to(t, trace_lde[col].shape))
+        cdev = F.encode_int(coeff)
+        term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
+        numer[k] = term if numer[k] is None else F.add(numer[k], term)
+        coeff = coeff * alpha_deep % p
+    for l, c_lde in enumerate(comp_lde):
+        t = F.encode_int(oods_comp_values[l])
+        term = F.sub(c_lde, jnp.broadcast_to(t, c_lde.shape))
+        cdev = F.encode_int(coeff)
+        term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
+        k = len(points) - 1
+        numer[k] = term if numer[k] is None else F.add(numer[k], term)
+        coeff = coeff * alpha_deep % p
+
+    # denominators: (x - point) for every distinct point, one batch inverse
+    dens = jnp.stack(
+        [F.sub(domain, jnp.broadcast_to(F.encode_int(pt), domain.shape))
+         for pt in points], axis=0)  # [K, N, L]
+    K, N, L = dens.shape
+    dinv = F.batch_inv(dens.reshape(K * N, L), 0).reshape(K, N, L)
+
+    acc = None
+    for k in range(len(points)):
+        term = F.mul(numer[k], dinv[k])
+        acc = term if acc is None else F.add(acc, term)
+    return acc
