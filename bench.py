@@ -1,0 +1,74 @@
+"""Benchmark: Cairo steps proved per second on the real example artifacts.
+
+Proves the reference repo's example/array-sum run (16384 steps) on the
+plain layout with the 252-bit Starkware field, self-verifies, and prints
+one JSON line for the driver.
+
+vs_baseline is measured against an estimated single-host reference (Rust
+sandstorm) throughput of 10k steps/s — the reference publishes no absolute
+number (BASELINE.md), so this anchor is documented here and held fixed
+across rounds so the trend is comparable.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+RUST_PROVER_STEPS_PER_SEC_ESTIMATE = 10_000.0
+
+
+def main():
+    from sandstorm_tpu.binary.formats import Layout
+    from sandstorm_tpu.claims import CairoClaim
+    from sandstorm_tpu.examples import load_artifacts
+    from sandstorm_tpu.fields.fp252 import Fp252
+    from sandstorm_tpu.stark.options import ProofOptions
+
+    ref = "/root/reference/example"
+    program, pub, witness = load_artifacts(
+        os.path.join(ref, "array-sum.json"),
+        os.path.join(ref, "air-public-input.json"),
+        os.path.join(ref, "air-private-input.json"))
+
+    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.PLAIN)
+    options = ProofOptions()  # reference CLI defaults: 65/2/16/8/16
+
+    # warm-up run: pays one-time XLA compilation (cached to disk)
+    t0 = time.time()
+    proof = claim.prove(witness, options)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    proof = claim.prove(witness, options)
+    elapsed = time.time() - t0
+
+    assert claim.verify(proof, required_security_bits=80)
+    steps_per_sec = pub.n_steps / elapsed
+    print(json.dumps({
+        "metric": "cairo_steps_proved_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(
+            steps_per_sec / RUST_PROVER_STEPS_PER_SEC_ESTIMATE, 4),
+        "detail": {
+            "n_steps": pub.n_steps,
+            "layout": "plain",
+            "field": "fp252",
+            "prove_s": round(elapsed, 3),
+            "first_run_s": round(warm, 3),
+            "proof_bytes": proof.size_bytes(),
+            "backend": __import__("jax").default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

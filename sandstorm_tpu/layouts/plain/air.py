@@ -168,7 +168,9 @@ class PlainAirConfig:
         # cpu/decode: flags are bits; prefix 15 is zero; offsets recompose
         c.append((flag(F_DST_REG) * flag(F_DST_REG) - flag(F_DST_REG))
                  * flags_zerofier_inv)
-        c.append(Trace(0, F_ZERO) / flag0_zerofier)
+        # the zerofier's roots are rows ≡ 15 (mod 16), so the raw column
+        # value there IS prefix 15 — forces f~_15 = 0 each cycle
+        c.append(Trace(0, 0) / flag0_zerofier)
         c.append((npc(NPC_INSTRUCTION)
                   - (((Trace(0, 0) * offset_size + rc(RC_OFF_OP1)) * offset_size
                       + rc(RC_OFF_OP0)) * offset_size + rc(RC_OFF_DST)))

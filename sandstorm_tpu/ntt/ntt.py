@@ -111,7 +111,7 @@ def ntt(F, a, inverse: bool = False):
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
-    wpow = _wpow_table(F, n, inverse)
+    wpow = jnp.asarray(_wpow_table(F, n, inverse))  # constant per trace
     idxA, idxB, twexp = _stage_tables(n)
 
     a = a[_bitrev(n)]
