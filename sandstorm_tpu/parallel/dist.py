@@ -106,11 +106,9 @@ def dist_ntt(F, mesh: Mesh, x, inverse: bool = False, axis: str = "d"):
         in_specs=(P(axis), P(None, axis)),
         out_specs=P(axis),
     )
-    out = fn(x, tw_sharded)
-    if inverse:
-        n_inv = F.encode_int(pow(n, -1, F.MODULUS))
-        out = F.mul(out, jnp.broadcast_to(n_inv, out.shape))
-    return out
+    # inverse scaling: the local column/row iNTTs already contribute
+    # 1/n1 * 1/n2 = 1/n, so no extra global scale is needed
+    return fn(x, tw_sharded)
 
 
 def dist_coset_lde(F, mesh: Mesh, evals, blowup: int, coset: int,
