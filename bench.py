@@ -26,6 +26,8 @@ RUST_PROVER_STEPS_PER_SEC_ESTIMATE = 10_000.0
 
 
 def main():
+    from sandstorm_tpu import enable_compile_cache
+    enable_compile_cache()
     from sandstorm_tpu.binary.formats import Layout
     from sandstorm_tpu.claims import CairoClaim
     from sandstorm_tpu.examples import load_artifacts

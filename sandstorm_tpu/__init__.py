@@ -20,3 +20,20 @@ in docstrings throughout.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = None):
+    """Enable JAX's persistent compilation cache.
+
+    NOTE: this environment pre-imports jax at interpreter startup
+    (sitecustomize), so the JAX_COMPILATION_CACHE_DIR env var is read too
+    late — the cache must be enabled with config.update after import.
+    """
+    import os
+    import jax
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -239,7 +239,8 @@ class LdeContext:
         self.memo = {}
 
 
-def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
+def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
+                 fold=None):
     """Evaluate expressions over the whole LDE domain; returns list of [N, L].
 
     Memoized over the hash-consed DAG.  Values are tracked as
@@ -248,12 +249,31 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
     are computed — and crucially batch-INVERTED — on their short period and
     only tiled up when they meet a full-length value.  period=0 denotes a
     scalar ([L]-shaped) value.
+
+    Interior values are reference-counted and evicted from the memo once
+    their last consumer has run, so peak memory is the live set (shared
+    zerofiers + the current expression path), not the whole DAG — this is
+    what makes evaluating ~100-constraint AIRs over multi-million-point
+    domains feasible (SURVEY.md §7 hard part 5).
+
+    With `fold=(combine_fn)`, the expression values are combined pairwise
+    as they stream out — `acc = combine_fn(acc, value, index)` — and the
+    single accumulator is returned instead of the full list (used for the
+    composition polynomial sum).
     """
     F = ctx.F
     memo = ctx.memo
     N = domain_size
     if N is None:
         N = next(iter(ctx.columns.values())).shape[0]
+
+    # reference counts over the hash-consed DAG (+1 per root occurrence)
+    refs = {}
+    for node in walk(exprs):
+        for child in node.args:
+            refs[id(child)] = refs.get(id(child), 0) + 1
+    for e in exprs:
+        refs[id(e)] = refs.get(id(e), 0) + 1
 
     def tile_to(val, period, target):
         if period == target:
@@ -265,6 +285,14 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
     def combine(op_fn, a, pa, b, pb):
         p = max(pa, pb)
         return op_fn(tile_to(a, pa, p), tile_to(b, pb, p)), p
+
+    def consume(n):
+        """Fetch n's value and release one reference to it."""
+        r = memo[id(n)]
+        refs[id(n)] -= 1
+        if refs[id(n)] == 0:
+            del memo[id(n)]
+        return r
 
     def ev(n):
         r = memo.get(id(n))
@@ -289,11 +317,14 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
             arr = ctx.periodic[k[1]]()
             r = (arr, arr.shape[0])
         elif op in ("add", "sub", "mul"):
-            a, pa = ev(n.args[0])
-            b, pb = ev(n.args[1])
+            ev(n.args[0])
+            ev(n.args[1])
+            a, pa = consume(n.args[0])
+            b, pb = consume(n.args[1])
             r = combine(getattr(F, op), a, pa, b, pb)
         elif op == "neg":
-            a, pa = ev(n.args[0])
+            ev(n.args[0])
+            a, pa = consume(n.args[0])
             r = (F.neg(a), pa)
         elif op == "pow":
             e = k[2]
@@ -303,10 +334,12 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
                 period = N // math.gcd(N, e)
                 r = (ctx.x_pow_fn(e, period), period)
             else:
-                a, pa = ev(base)
+                ev(base)
+                a, pa = consume(base)
                 r = (F.pow_static(a, e), pa)
         elif op == "inv":
-            v, pv = ev(n.args[0])
+            ev(n.args[0])
+            v, pv = consume(n.args[0])
             if pv == 0:
                 r = (F.inv(v), 0)
             else:
@@ -316,11 +349,17 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None):
         memo[id(n)] = r
         return r
 
+    acc = None
     out = []
-    for e in exprs:
-        v, p = ev(e)
-        out.append(tile_to(v, p, N))
-    return out
+    for i, e in enumerate(exprs):
+        ev(e)
+        v, p = consume(e)
+        v = tile_to(v, p, N)
+        if fold is None:
+            out.append(v)
+        else:
+            acc = fold(acc, v, i)
+    return out if fold is None else acc
 
 
 class ScalarContext:

@@ -8,6 +8,8 @@ from .binary.formats import Layout
 from .fields.fp252 import Fp252
 from .layouts.plain.air import PlainAirConfig
 from .layouts.plain.trace import PlainExecutionTrace
+from .layouts.recursive.air import RecursiveAirConfig
+from .layouts.recursive.trace import RecursiveExecutionTrace
 from .stark.options import ProofOptions
 from .stark.prover import prove as stark_prove
 from .stark.verifier import verify as stark_verify
@@ -15,6 +17,7 @@ from .stark.verifier import verify as stark_verify
 
 _LAYOUTS = {
     Layout.PLAIN: (PlainAirConfig, PlainExecutionTrace),
+    Layout.RECURSIVE: (RecursiveAirConfig, RecursiveExecutionTrace),
 }
 
 

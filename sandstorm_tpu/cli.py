@@ -35,6 +35,8 @@ def _field_for_prime(prime: int):
 
 
 def main(argv=None):
+    from . import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="sandstorm-tpu")
     parser.add_argument("--program", required=True)
     parser.add_argument("--air-public-input", required=True)

@@ -106,6 +106,8 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
     hints = air_config.gen_hints(n, pub, challenges, p)
     alpha_comp = coin.draw_felt(p)
     constraints = air_config.constraints(n, p, g)
+    periodic_cols = (air_config.periodic_columns(n)
+                     if hasattr(air_config, "periodic_columns") else [])
     ctx = LdeContext(
         F,
         columns={**base_lde, **ext_lde},
@@ -114,15 +116,18 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
         x_pow_fn=dom.x_pow,
         challenges=[F.encode_int(c) for c in challenges],
         hints=[F.encode_int(h) for h in hints],
-        periodic=[pc.lde_fn(F, dom) for pc in
-                  getattr(air_config, "PERIODIC_COLUMNS", [])],
+        periodic=[pc.lde_fn(F, dom) for pc in periodic_cols],
     )
-    cvals = evaluate_lde(constraints, ctx, domain_size=N)
-    # composition = sum_i alpha^i C_i via Horner (highest index first)
-    alpha_dev = F.encode_int(alpha_comp)
-    comp = cvals[-1]
-    for cv in reversed(cvals[:-1]):
-        comp = F.add(F.mul(comp, jnp.broadcast_to(alpha_dev, comp.shape)), cv)
+
+    # composition = sum_i alpha^i C_i, folded as constraint values stream
+    # out of the evaluator (keeps peak memory at the live set)
+    def fold_composition(acc, cv, i):
+        coeff = F.encode_int(pow(alpha_comp, i, p))
+        term = F.mul(cv, jnp.broadcast_to(coeff, cv.shape))
+        return term if acc is None else F.add(acc, term)
+
+    comp = evaluate_lde(constraints, ctx, domain_size=N,
+                        fold=fold_composition)
 
     # split C(x) = C0(x^2) + x*C1(x^2); commit [C0, C1] on the LDE domain
     m = air_config.CE_BLOWUP_FACTOR
@@ -139,15 +144,13 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
     z = coin.draw_felt(p)
     targs = trace_arguments(constraints)
     all_coeffs = {**base_coeffs, **ext_coeffs}
-    # one traced powers table for z (compiled once per shape); the static
-    # g^off scalings come from cached host tables: z*g^off powers =
-    # zpow * powers(g^off)
+    # per distinct offset, one traced powers table at the point z*g^off
+    # (powers() is compiled once per shape and reused across offsets)
     offsets = sorted({off for (_, off) in targs})
-    zp = powers(F, F.encode_int(z), n)
     oods_values = {}
     for off in offsets:
-        gk = powers_host(F, pow(g, off % n, p), n)
-        zp_off = F.mul(zp, gk) if off % n else zp
+        pt = z * pow(g, off % n, p) % p
+        zp_off = powers(F, F.encode_int(pt), n)
         for (col, o) in targs:
             if o == off:
                 v = field_sum(F, F.mul(all_coeffs[col], zp_off), axis=0)
@@ -224,8 +227,10 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     D(x) = sum_j a^j (T_j(x) - t_j)/(x - z g^{k_j})
          + sum_l a^{T+l} (C_l(x) - c_l)/(x - z^m)
 
-    Terms sharing a denominator point are grouped; all the denominator
-    arrays are inverted in ONE flattened batch inversion.
+    Terms sharing a denominator point are grouped; points are processed one
+    at a time (sum terms, one batch inversion, accumulate) so peak memory
+    stays at a few domain-length arrays regardless of the trace-argument
+    count.
     """
     p = F.MODULUS
     m = len(comp_lde)
@@ -233,35 +238,30 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     points = [z * pow(g, off % n, p) % p for off in offsets] + [pow(z, m, p)]
     domain = dom.domain()
 
-    # numerators grouped per distinct point
+    # (point index, lde array, oods value, deep coefficient) per term, in
+    # transcript order for the alpha powers
+    terms = []
     coeff = 1
-    numer = {k: None for k in range(len(points))}
     for j, (col, off) in enumerate(targs):
-        k = offsets.index(off)
-        t = F.encode_int(oods_trace_values[j])
-        term = F.sub(trace_lde[col], jnp.broadcast_to(t, trace_lde[col].shape))
-        cdev = F.encode_int(coeff)
-        term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
-        numer[k] = term if numer[k] is None else F.add(numer[k], term)
+        terms.append((offsets.index(off), trace_lde[col],
+                      oods_trace_values[j], coeff))
         coeff = coeff * alpha_deep % p
     for l, c_lde in enumerate(comp_lde):
-        t = F.encode_int(oods_comp_values[l])
-        term = F.sub(c_lde, jnp.broadcast_to(t, c_lde.shape))
-        cdev = F.encode_int(coeff)
-        term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
-        k = len(points) - 1
-        numer[k] = term if numer[k] is None else F.add(numer[k], term)
+        terms.append((len(points) - 1, c_lde, oods_comp_values[l], coeff))
         coeff = coeff * alpha_deep % p
 
-    # denominators: (x - point) for every distinct point, one batch inverse
-    dens = jnp.stack(
-        [F.sub(domain, jnp.broadcast_to(F.encode_int(pt), domain.shape))
-         for pt in points], axis=0)  # [K, N, L]
-    K, N, L = dens.shape
-    dinv = F.batch_inv(dens.reshape(K * N, L), 0).reshape(K, N, L)
-
     acc = None
-    for k in range(len(points)):
-        term = F.mul(numer[k], dinv[k])
+    for k, pt in enumerate(points):
+        numer = None
+        for (ki, lde, oods_val, cf) in terms:
+            if ki != k:
+                continue
+            t = F.encode_int(oods_val)
+            term = F.sub(lde, jnp.broadcast_to(t, lde.shape))
+            cdev = F.encode_int(cf)
+            term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
+            numer = term if numer is None else F.add(numer, term)
+        den = F.sub(domain, jnp.broadcast_to(F.encode_int(pt), domain.shape))
+        term = F.mul(numer, F.batch_inv(den, 0))
         acc = term if acc is None else F.add(acc, term)
     return acc

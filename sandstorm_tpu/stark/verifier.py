@@ -76,8 +76,9 @@ def verify(F, air_config, public_input, proof,
            "wrong number of OODS composition values")
     hints = air_config.gen_hints(n, public_input, challenges, p)
     trace_values = dict(zip(targs, proof.oods_trace_values))
-    periodic_values = [pc.eval_int(z, p) for pc in
-                       getattr(air_config, "PERIODIC_COLUMNS", [])]
+    periodic_cols = (air_config.periodic_columns(n)
+                     if hasattr(air_config, "periodic_columns") else [])
+    periodic_values = [pc.eval_int(z, p) for pc in periodic_cols]
     ctx = IntContext(p, z, trace_values, challenges, hints, periodic_values)
     cvals = evaluate_int(constraints, ctx)
     comp_at_z = cvals[-1]

@@ -29,3 +29,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402  (already imported at startup in this image)
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: because jax is pre-imported at startup, the cache env vars above
+# are read too late; config.update is required for the cache to engage.
+from sandstorm_tpu import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

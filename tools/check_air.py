@@ -1,0 +1,144 @@
+"""Diagnostic: verify an AIR's constraint quotients are genuine polynomials
+on a built trace (the prover-side low-degree property), with per-constraint
+bisection on failure.
+
+Method: evaluate the composition over the CE (LDE) domain, interpolate the
+values to coefficients, evaluate that polynomial at a random out-of-domain
+point x0, and compare with the host big-int evaluation of the symbolic
+constraints at x0 (using column-polynomial openings computed on device).
+A mismatch means some constraint's numerator does not vanish on its
+zerofier's support; the failing subset is then bisected.
+
+Usage: python tools/check_air.py [recursive|plain]
+"""
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+# runs on the default backend — the real TPU when available
+from sandstorm_tpu import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import jax.numpy as jnp
+
+from sandstorm_tpu.air.expr import (LdeContext, IntContext, evaluate_lde,
+                                    evaluate_int, trace_arguments)
+from sandstorm_tpu.examples import load_artifacts
+from sandstorm_tpu.fields.fp252 import Fp252 as F
+from sandstorm_tpu.ntt import intt, powers, powers_host, field_sum
+from sandstorm_tpu.stark.prover import _DomainCache, _lde_and_coeffs
+
+
+def main():
+    program, pub, witness = load_artifacts(
+        "/root/reference/example/array-sum.json",
+        "/root/reference/example/air-public-input.json",
+        "/root/reference/example/air-private-input.json",
+        base_dir="/root/reference/example")
+    from sandstorm_tpu.layouts.recursive import (RecursiveAirConfig as air,
+                                                 RecursiveExecutionTrace)
+    t0 = time.time()
+    trace = RecursiveExecutionTrace(F, program, pub, witness)
+    print(f"trace built in {time.time()-t0:.1f}s, len={trace.trace_len}")
+
+    p = F.MODULUS
+    n = trace.trace_len
+    blowup = 2
+    N = n * blowup
+    coset = F.GENERATOR
+    g = F.root_of_unity_int(n)
+    dom = _DomainCache(F, N, coset)
+
+    rng = random.Random(1234)
+    challenges = [rng.randrange(1, p) for _ in range(air.NUM_CHALLENGES)]
+    hints = air.gen_hints(n, pub, challenges, p)
+
+    t0 = time.time()
+    base_cols = trace.base_columns()
+    ext_cols = trace.build_extension_columns(challenges)
+    coeffs, ldes = {}, {}
+    for i, col in {**base_cols, **ext_cols}.items():
+        coeffs[i], ldes[i] = _lde_and_coeffs(F, col, blowup, coset)
+        ldes[i].block_until_ready()
+        print(f"  col {i} LDE done {time.time()-t0:.1f}s")
+
+    constraints = air.constraints(n, p, g)
+    targs = trace_arguments(constraints)
+    pcs = air.periodic_columns(n)
+
+    x0 = rng.randrange(1, p)
+    # host-side openings of every needed column poly at x0*g^off
+    t0 = time.time()
+    openings = {}
+    for off in sorted({o for (_, o) in targs}):
+        pt = x0 * pow(g, off % n, p) % p
+        zp = powers(F, F.encode_int(pt), n)
+        for (col, o) in targs:
+            if o == off:
+                v = field_sum(F, F.mul(coeffs[col], zp), axis=0)
+                openings[(col, off)] = int(F.decode(v))
+    print(f"openings at x0 in {time.time()-t0:.1f}s")
+    periodic_values = [pc.eval_int(x0, p) for pc in pcs]
+    ictx = IntContext(p, x0, openings, challenges, hints, periodic_values)
+    host_vals = evaluate_int(constraints, ictx)
+
+    def device_vals_at_x0(idxs):
+        ctx = LdeContext(
+            F, columns=ldes, blowup=blowup, domain_fn=dom.domain,
+            x_pow_fn=dom.x_pow,
+            challenges=[F.encode_int(c) for c in challenges],
+            hints=[F.encode_int(h) for h in hints],
+            periodic=[pc.lde_fn(F, dom) for pc in pcs])
+        # random-weighted sum so one pass covers a whole subset
+        weights = {i: rng.randrange(1, p) for i in idxs}
+
+        def fold(acc, cv, k):
+            w = F.encode_int(weights[idxs[k]])
+            term = F.mul(cv, jnp.broadcast_to(w, cv.shape))
+            return term if acc is None else F.add(acc, term)
+
+        comb = evaluate_lde([constraints[i] for i in idxs], ctx,
+                            domain_size=N, fold=fold)
+        cf = intt(F, comb)
+        cf = F.mul(cf, powers_host(F, pow(coset, -1, p), N))
+        v = field_sum(F, F.mul(cf, powers(F, F.encode_int(x0), N)), axis=0)
+        expect = sum(weights[i] * host_vals[i] for i in idxs) % p
+        return int(F.decode(v)), expect
+
+    def check(idxs, label):
+        t0 = time.time()
+        got, expect = device_vals_at_x0(idxs)
+        ok = got == expect
+        print(f"{label}: {'OK' if ok else 'MISMATCH'} "
+              f"({time.time()-t0:.1f}s, {len(idxs)} constraints)")
+        return ok
+
+    groups = [
+        ("cpu", list(range(0, 27))),
+        ("boundary", list(range(27, 33))),
+        ("memory", list(range(33, 41))),
+        ("rc16", list(range(41, 47))),
+        ("diluted", list(range(47, 54))),
+        ("pedersen", list(range(54, 79))),
+        ("rc128", list(range(79, 82))),
+        ("bitwise", list(range(82, 93))),
+    ]
+    assert sorted(sum((g for _, g in groups), [])) == list(range(93))
+    bad_groups = []
+    for name, idxs in groups:
+        if not check(idxs, name):
+            bad_groups.append((name, idxs))
+    if not bad_groups:
+        print("ALL CONSTRAINTS LOW-DEGREE OK")
+        return
+    for name, idxs in bad_groups:
+        for i in idxs:
+            check([i], f"  {name} #{i}")
+
+
+if __name__ == "__main__":
+    main()
