@@ -32,8 +32,11 @@ def enable_compile_cache(path: str = None):
     import os
     import jax
     if path is None:
+        # per-backend cache dirs: XLA:CPU AOT entries are machine-feature
+        # tagged and cross-backend loads error (and risk SIGILL)
+        backend = jax.default_backend()
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache")
+            os.path.abspath(__file__))), f".jax_cache_{backend}")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

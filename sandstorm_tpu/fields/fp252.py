@@ -328,17 +328,20 @@ class Fp252:
 
     @classmethod
     def batch_inv(cls, a, axis=0):
-        """Montgomery batch inversion: two associative scans + one inversion."""
-        n = a.shape[axis]
-        prefix = jax.lax.associative_scan(cls.mul, a, axis=axis)
-        total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=True)
-        total_inv = cls.inv(total)
-        suffix = jax.lax.associative_scan(cls.mul, a, axis=axis, reverse=True)
-        ones = cls.ones(jax.lax.index_in_dim(a, 0, axis=axis, keepdims=True).shape[:-1])
-        prefix_shift = jnp.concatenate(
-            [ones, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=axis)], axis=axis)
-        suffix_shift = jnp.concatenate(
-            [jax.lax.slice_in_dim(suffix, 1, n, axis=axis), ones], axis=axis)
+        """Montgomery batch inversion: two prefix scans + one inversion.
+
+        Scans use the uniform-stage formulation (fields/scan.py) so the
+        compiled graph is O(1) in n.
+        """
+        from .scan import prefix_mul
+        assert axis == 0
+        n = a.shape[0]
+        prefix = prefix_mul(cls, a)
+        total_inv = cls.inv(prefix[n - 1:n])
+        suffix = prefix_mul(cls, a, reverse=True)
+        ones = cls.ones((1,) + a.shape[1:-1])
+        prefix_shift = jnp.concatenate([ones, prefix[: n - 1]], axis=0)
+        suffix_shift = jnp.concatenate([suffix[1:], ones], axis=0)
         t = cls.mul(prefix_shift, suffix_shift)
         return cls.mul(t, jnp.broadcast_to(total_inv, t.shape))
 

@@ -202,18 +202,17 @@ class GL:
         All elements must be nonzero (zero poisons the whole batch).
         O(log n) depth of field muls instead of n sequential inversions.
         """
-        n = a.shape[axis]
-        prefix = jax.lax.associative_scan(cls.mul, a, axis=axis)
-        total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=True)
-        total_inv = cls.inv(total)
-        # suffix scan on reversed array gives products a_i..a_{n-1}
-        suffix = jax.lax.associative_scan(cls.mul, a, axis=axis, reverse=True)
+        from .scan import prefix_mul
+        assert axis == 0
+        n = a.shape[0]
+        prefix = prefix_mul(cls, a)
+        total_inv = cls.inv(prefix[n - 1:n])
+        # suffix scan gives products a_i..a_{n-1}
+        suffix = prefix_mul(cls, a, reverse=True)
         # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
-        ones = cls.ones(jax.lax.index_in_dim(a, 0, axis=axis, keepdims=True).shape[:-1])
-        prefix_shift = jnp.concatenate(
-            [ones, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=axis)], axis=axis)
-        suffix_shift = jnp.concatenate(
-            [jax.lax.slice_in_dim(suffix, 1, n, axis=axis), ones], axis=axis)
+        ones = cls.ones((1,) + a.shape[1:-1])
+        prefix_shift = jnp.concatenate([ones, prefix[: n - 1]], axis=0)
+        suffix_shift = jnp.concatenate([suffix[1:], ones], axis=0)
         t = cls.mul(prefix_shift, suffix_shift)
         return cls.mul(t, total_inv)
 

@@ -24,6 +24,7 @@ from .air import (
     MEMORY_Z, MEMORY_A, RC_Z,
 )
 from ...binary.word import decode_words
+from ...fields.scan import prefix_mul
 
 
 def _ints_to_u64limbs(vals):
@@ -220,7 +221,7 @@ def _build_permutation_column(F, npc_dev, mem_dev, rc_dev, z, alpha, z_rc):
     num = F.sub(z, F.add(a, F.mul(alpha, v)))
     den = F.sub(z, F.add(ap_, F.mul(alpha, vp)))
     ratio = F.mul(num, F.batch_inv(den, 0))
-    mem_cum = jax.lax.associative_scan(F.mul, ratio, axis=0)
+    mem_cum = prefix_mul(F, ratio)
 
     # range-check permutation: ratio_k = (z - unordered_k) / (z - ordered_k)
     unordered = rc_dev[0::RANGE_CHECK_STEP]
@@ -228,7 +229,7 @@ def _build_permutation_column(F, npc_dev, mem_dev, rc_dev, z, alpha, z_rc):
     num_rc = F.sub(z_rc, unordered)
     den_rc = F.sub(z_rc, ordered)
     ratio_rc = F.mul(num_rc, F.batch_inv(den_rc, 0))
-    rc_cum = jax.lax.associative_scan(F.mul, ratio_rc, axis=0)
+    rc_cum = prefix_mul(F, ratio_rc)
 
     perm = F.zeros((n,))
     perm = perm.at[0::MEMORY_STEP].set(mem_cum)

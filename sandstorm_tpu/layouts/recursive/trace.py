@@ -40,6 +40,7 @@ from .air import (
     PEDERSEN_STEP_ROWS, BITWISE_STEP_ROWS, RC128_STEP_ROWS,
 )
 from ...binary.word import decode_words
+from ...fields.scan import prefix_mul, prefix_scan
 from ...builtins import pedersen as pedersen_builtin
 from ...builtins import bitwise as bitwise_builtin
 from ..utils import ordered_with_padding, dilute_u16
@@ -401,20 +402,17 @@ def _build_extension_columns(F, dil_un, dil_ord, npc_dev, mem_dev, rc_dev,
     ap_, vp = mem_dev[0::2], mem_dev[1::2]
     num = F.sub(z_mem, F.add(a, F.mul(a_mem, v)))
     den = F.sub(z_mem, F.add(ap_, F.mul(a_mem, vp)))
-    mem_cum = jax.lax.associative_scan(
-        F.mul, F.mul(num, F.batch_inv(den, 0)), axis=0)
+    mem_cum = prefix_mul(F, F.mul(num, F.batch_inv(den, 0)))
 
     # 16-bit range-check permutation: unordered cells 0 mod 4, ordered 2 mod 4
     num_rc = F.sub(z_rc, rc_dev[0::RANGE_CHECK_STEP])
     den_rc = F.sub(z_rc, rc_dev[RC_ORDERED::RANGE_CHECK_STEP])
-    rc_cum = jax.lax.associative_scan(
-        F.mul, F.mul(num_rc, F.batch_inv(den_rc, 0)), axis=0)
+    rc_cum = prefix_mul(F, F.mul(num_rc, F.batch_inv(den_rc, 0)))
 
     # diluted permutation over every row
     num_d = F.sub(z_dp, dil_un)
     den_d = F.sub(z_dp, dil_ord)
-    dil_cum = jax.lax.associative_scan(
-        F.mul, F.mul(num_d, F.batch_inv(den_d, 0)), axis=0)
+    dil_cum = prefix_mul(F, F.mul(num_d, F.batch_inv(den_d, 0)))
 
     # diluted aggregate: acc0 = 1; acc' = acc (1 + z u) + α u² — an affine
     # recurrence scanned via (a,b)-map composition
@@ -427,7 +425,7 @@ def _build_extension_columns(F, dil_un, dil_ord, npc_dev, mem_dev, rc_dev,
         a2, b2 = snd
         return F.mul(a1, a2), F.add(F.mul(b1, a2), b2)
 
-    agg_a, agg_b = jax.lax.associative_scan(compose, (a_seq, b_seq), axis=0)
+    agg_a, agg_b = prefix_scan(compose, (a_seq, b_seq))
     agg = jnp.concatenate([F.ones((1,)), F.add(agg_a, agg_b)], axis=0)
 
     mem_rc = F.zeros((n,))

@@ -30,13 +30,14 @@ def bit_reverse_perm(n: int) -> np.ndarray:
 
 
 def powers(F, base, count: int):
-    """[count, L] array of base^0 .. base^(count-1) via an associative scan.
+    """[count, L] array of base^0 .. base^(count-1) via a prefix scan.
 
     For a *python-int* base prefer powers_host (zero compile cost)."""
+    from ..fields.scan import prefix_mul
     base = jnp.asarray(base)
     seq = jnp.concatenate(
         [F.ones((1,)), jnp.broadcast_to(base, (count - 1,) + base.shape)], axis=0)
-    return jax.lax.associative_scan(F.mul, seq, axis=0)
+    return prefix_mul(F, seq)
 
 
 @functools.lru_cache(maxsize=256)
