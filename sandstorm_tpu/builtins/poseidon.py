@@ -101,28 +101,42 @@ def hades_permutation(s0, s1, s2):
     return permute([s0, s1, s2])
 
 
-@functools.lru_cache(maxsize=1)
 def optimized_partial_round_keys():
-    """Equivalent single-element keys for the partial rounds.
+    """Single-element keys for the partial rounds in the CryptoExperts
+    optimized variant (the schedule the starknet AIR constrains).
 
-    CryptoExperts optimization: fold each partial round's full key vector
-    into (a) a single key on the S-box element and (b) a precomputed
-    addition absorbed into the next rounds, so the AIR only needs one key
-    per partial round.  Derivation: walk the partial rounds backwards,
-    propagating the non-S-box components of each key through MDS^-1.
+    These are StarkWare's public constants (reference
+    builtins/src/poseidon/params.rs PARTIAL_ROUND_KEYS_OPTIMIZED, derived
+    per https://github.com/CryptoExperts/poseidon poseidon_variant.sage).
     """
-    d = params()
-    partial = [list(k) for k in d["PARTIAL_ROUND_KEYS"]]
-    minv = _mat_inv(mds())
-    optimized = [0] * NUM_PARTIAL_ROUNDS
-    carry = [0, 0, 0]
-    for r in range(NUM_PARTIAL_ROUNDS - 1, -1, -1):
-        keys = [(partial[r][i] + carry[i]) % P for i in range(M)]
-        optimized[r] = keys[2]
-        # the (k0, k1, 0) part commutes with the S-box (it only acts on
-        # element 2) and moves through the MDS of the previous round
-        carry = _mat_vec(minv, [keys[0], keys[1], 0])
-    return optimized, carry  # carry = keys to absorb into the last full round
+    return params()["PARTIAL_ROUND_KEYS_OPTIMIZED"]
+
+
+def optimized_2nd_half_first_round_keys():
+    """The modified first round keys of the 2nd full-round half in the
+    optimized variant (reference poseidon/mod.rs:89-94)."""
+    return params()["FULL_ROUND_KEYS_2ND_HALF_OPTIMIZED_FIRST"]
+
+
+@dataclasses.dataclass
+class FullRoundStates:
+    after_add_round_keys: list  # [3]
+    after_apply_s_box: list     # [3]
+    after_mds_mul: list         # [3]
+
+
+def gen_half_full_round_states(state, keys_half):
+    """Record the per-round states of one full-round half
+    (poseidon/mod.rs:118-148)."""
+    rounds = []
+    for rks in keys_half:
+        state = [(s + k) % P for s, k in zip(state, rks)]
+        after_add = list(state)
+        state = [pow(s, 3, P) for s in state]
+        after_sbox = list(state)
+        state = _mat_vec(mds(), state)
+        rounds.append(FullRoundStates(after_add, after_sbox, list(state)))
+    return rounds
 
 
 @dataclasses.dataclass
@@ -136,31 +150,47 @@ class InstanceTrace:
     output0: int
     output1: int
     output2: int
-    # state at the START of each round, plus the final state: length
-    # NUM_FULL+NUM_PARTIAL+1, each [3]
-    round_states: list
+    # optimized-variant per-round states, matching the starknet AIR
+    # (poseidon/mod.rs:62-115)
+    full_round_states_1st_half: list   # [4] FullRoundStates
+    full_round_states_2nd_half: list   # [4] FullRoundStates
+    partial_round_states: list         # [83] after_add_round_key values
 
     @classmethod
     def new(cls, index: int, input0: int, input1: int, input2: int):
-        keys = round_keys()
+        d = params()
         state = [input0 % P, input1 % P, input2 % P]
-        states = [list(state)]
-        r = 0
-        for _ in range(NUM_FULL_ROUNDS // 2):
-            state = full_round(state, keys[r]); r += 1
-            states.append(list(state))
-        for _ in range(NUM_PARTIAL_ROUNDS):
-            state = partial_round(state, keys[r]); r += 1
-            states.append(list(state))
-        for _ in range(NUM_FULL_ROUNDS // 2):
-            state = full_round(state, keys[r]); r += 1
-            states.append(list(state))
+        first_half = gen_half_full_round_states(
+            state, d["FULL_ROUND_KEYS_1ST_HALF"])
+        state = list(first_half[-1].after_mds_mul)
+
+        partial_states = []
+        for key in optimized_partial_round_keys():
+            state[2] = (state[2] + key) % P
+            partial_states.append(state[2])
+            state[2] = pow(state[2], 3, P)
+            state = _mat_vec(mds(), state)
+
+        keys_2nd = [list(k) for k in d["FULL_ROUND_KEYS_2ND_HALF"]]
+        keys_2nd[0] = optimized_2nd_half_first_round_keys()
+        second_half = gen_half_full_round_states(state, keys_2nd)
+        final_state = second_half[-1].after_mds_mul
         # witness-gen asserts the AIR will pass
-        assert state == permute([input0, input1, input2])
-        return cls(index=index, input0=input0, input1=input1, input2=input2,
-                   output0=state[0], output1=state[1], output2=state[2],
-                   round_states=states)
+        assert final_state == permute([input0, input1, input2])
+        return cls(index=index, input0=input0 % P, input1=input1 % P,
+                   input2=input2 % P,
+                   output0=final_state[0], output1=final_state[1],
+                   output2=final_state[2],
+                   full_round_states_1st_half=first_half,
+                   full_round_states_2nd_half=second_half,
+                   partial_round_states=partial_states)
 
     @classmethod
     def new_dummy(cls, index: int):
-        return cls.new(index, 0, 0, 0)
+        t = _dummy_template()
+        return dataclasses.replace(t, index=index)
+
+
+@functools.lru_cache(maxsize=1)
+def _dummy_template():
+    return InstanceTrace.new(0, 0, 0, 0)
