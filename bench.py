@@ -1,8 +1,9 @@
 """Benchmark: Cairo steps proved per second on the real example artifacts.
 
 Proves the reference repo's example/array-sum run (16384 steps) on the
-plain layout with the 252-bit Starkware field, self-verifies, and prints
-one JSON line for the driver.
+RECURSIVE layout (the SHARP-compatible configuration: 93 constraints,
+pedersen/rc128/bitwise builtins, 252-bit Starkware field), self-verifies,
+and prints one JSON line for the driver.
 
 vs_baseline is measured against an estimated single-host reference (Rust
 sandstorm) throughput of 10k steps/s — the reference publishes no absolute
@@ -40,7 +41,7 @@ def main():
         os.path.join(ref, "air-public-input.json"),
         os.path.join(ref, "air-private-input.json"))
 
-    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.PLAIN)
+    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.RECURSIVE)
     options = ProofOptions()  # reference CLI defaults: 65/2/16/8/16
 
     # warm-up run: pays one-time XLA compilation (cached to disk)
@@ -62,7 +63,7 @@ def main():
             steps_per_sec / RUST_PROVER_STEPS_PER_SEC_ESTIMATE, 4),
         "detail": {
             "n_steps": pub.n_steps,
-            "layout": "plain",
+            "layout": "recursive",
             "field": "fp252",
             "prove_s": round(elapsed, 3),
             "first_run_s": round(warm, 3),

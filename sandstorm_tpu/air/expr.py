@@ -287,7 +287,12 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
         return op_fn(tile_to(a, pa, p), tile_to(b, pb, p)), p
 
     def consume(n):
-        """Fetch n's value and release one reference to it."""
+        """Fetch n's value and release one reference to it.
+
+        Trace leaves are never memoized (see ev) — recompute the roll.
+        """
+        if id(n) not in memo:
+            return ev(n)
         r = memo[id(n)]
         refs[id(n)] -= 1
         if refs[id(n)] == 0:
@@ -305,10 +310,14 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
         elif op == "const":
             r = (F.encode_int(k[1]), 0)
         elif op == "trace":
+            # NOT memoized: a rolled view is a full domain-length array and
+            # dozens of distinct (col, offset) leaves stay live across the
+            # whole constraint set if cached — rolls are bandwidth-cheap, so
+            # recompute per consumer instead (memory beats compute here)
             col, off = k[1], k[2]
             arr = ctx.columns[col]
             shift = (off * ctx.blowup) % arr.shape[0]
-            r = (jnp.roll(arr, -shift, axis=0) if shift else arr, N)
+            return (jnp.roll(arr, -shift, axis=0) if shift else arr, N)
         elif op == "challenge":
             r = (ctx.challenges[k[1]], 0)
         elif op == "hint":

@@ -10,6 +10,8 @@ from .layouts.plain.air import PlainAirConfig
 from .layouts.plain.trace import PlainExecutionTrace
 from .layouts.recursive.air import RecursiveAirConfig
 from .layouts.recursive.trace import RecursiveExecutionTrace
+from .layouts.starknet.air import StarknetAirConfig
+from .layouts.starknet.trace import StarknetExecutionTrace
 from .stark.options import ProofOptions
 from .stark.prover import prove as stark_prove
 from .stark.verifier import verify as stark_verify
@@ -18,6 +20,7 @@ from .stark.verifier import verify as stark_verify
 _LAYOUTS = {
     Layout.PLAIN: (PlainAirConfig, PlainExecutionTrace),
     Layout.RECURSIVE: (RecursiveAirConfig, RecursiveExecutionTrace),
+    Layout.STARKNET: (StarknetAirConfig, StarknetExecutionTrace),
 }
 
 

@@ -94,35 +94,32 @@ def _cond_sub_p(digits):
 
 
 def _dmul_loose(a, b):
-    """Tensorized 16x16-digit product -> 32 'loose' digits (each < 2^21).
+    """16x16-digit product -> 32 'loose' digits (each < 2^21).
 
-    One outer product + a skew-reshape gives all anti-diagonal column sums
-    in a handful of XLA ops (compile-time matters: the schoolbook loop
-    version generated ~1000 HLO ops per multiply and made XLA compilation
-    the dominant cost).  Carries are NOT propagated: _redc tolerates loose
-    digits because digit i receives no further contributions once the REDC
-    round reaches it.
+    Expressed as 16 shifted multiply-adds (one per digit of b): every
+    temporary stays [..., 32] u32, so the peak working set is a few times
+    the element size.  The earlier outer-product formulation materialized
+    [..., 16, 16] intermediates — 16x the element size per temp — which
+    blew HBM on multi-million-row arrays.  Carries are NOT propagated:
+    _redc tolerates loose digits because digit i receives no further
+    contributions once the REDC round reaches it.
     """
-    # P[..., i, j] = a_i * b_j  (< 2^32, exact in u32)
-    prod = a[..., :, None] * b[..., None, :]
-    p_lo = prod & MASK16
-    p_hi = prod >> 16
+    batch = a.shape[:-1]
 
-    def columns(P):
-        """S[k] = sum_{i+j=k} P[i, j] for k in 0..30 via the skew trick."""
-        batch = P.shape[:-2]
-        padded = jnp.pad(P, [(0, 0)] * len(batch) + [(0, 0), (0, 16)])
-        flat = padded.reshape(batch + (512,))[..., :496]
-        skew = flat.reshape(batch + (16, 31))
-        return jnp.sum(skew, axis=-2)  # [..., 31], each < 2^20
+    def body(j, loose):
+        # contrib layout: slot 0 gets lo[0]; slot k gets lo[k] + hi[k-1]
+        prod = a * jax.lax.dynamic_slice_in_dim(b, j, 1, axis=-1)
+        lo = prod & MASK16
+        hi = prod >> 16
+        contrib = jnp.concatenate(
+            [lo, jnp.zeros(batch + (1,), dtype=a.dtype)], axis=-1)
+        contrib = contrib.at[..., 1:].add(hi)   # [..., 17]
+        window = jax.lax.dynamic_slice_in_dim(loose, j, NDIGITS + 1, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            loose, window + contrib, j, axis=-1)
 
-    s_lo = columns(p_lo)
-    s_hi = columns(p_hi)
-    # loose digit k = s_lo[k] + s_hi[k-1]
-    zeros = jnp.zeros_like(s_lo[..., :1])
-    loose = jnp.concatenate([s_lo, zeros], axis=-1) \
-        + jnp.concatenate([zeros, s_hi], axis=-1)
-    return loose  # [..., 32]
+    loose = jnp.zeros(batch + (2 * NDIGITS,), dtype=a.dtype)
+    return jax.lax.fori_loop(0, NDIGITS, body, loose)  # [..., 32]
 
 
 def _redc(t_loose):
@@ -132,21 +129,37 @@ def _redc(t_loose):
     adds m*(1 + 17*2^192 + 2^251) shifted by the round index — four
     multiply-adds.  Round i only needs digit i fully accumulated, which
     holds because contributions land at offsets >= +12.
+
+    The round loop is a fori_loop carrying ONE [..., 33] array (padded with
+    a spill digit) so XLA aliases the buffer in place — the unrolled
+    version kept ~33 live digit planes and dominated HBM at multi-million
+    row batches.
     """
-    t = [t_loose[..., i] for i in range(32)] + [jnp.zeros_like(t_loose[..., 0])]
-    c = jnp.zeros_like(t[0])
-    for i in range(NDIGITS):
-        ti = t[i] + c
+    batch = t_loose.shape[:-1]
+    t = jnp.concatenate(
+        [t_loose, jnp.zeros(batch + (1,), dtype=t_loose.dtype)], axis=-1)
+    c0 = jnp.zeros(batch + (1,), dtype=t_loose.dtype)
+
+    def body(i, carry):
+        t, c = carry
+        ti = jax.lax.dynamic_slice_in_dim(t, i, 1, axis=-1) + c
         m = (jnp.zeros_like(ti) - ti) & MASK16  # (-t_i) mod 2^16
         c = (ti + m) >> 16
         m17 = m * U32(17)
-        t[i + 12] = t[i + 12] + (m17 & MASK16)
-        t[i + 13] = t[i + 13] + (m17 >> 16)
-        t[i + 15] = t[i + 15] + ((m << 11) & MASK16)
-        t[i + 16] = t[i + 16] + (m >> 5)
+        # contributions at offsets +12, +13, +15, +16 relative to i
+        contrib = jnp.concatenate([
+            m17 & MASK16, m17 >> 16, jnp.zeros_like(ti),
+            (m << 11) & MASK16, m >> 5], axis=-1)  # [..., 5] at i+12..i+16
+        window = jax.lax.dynamic_slice_in_dim(t, i + 12, 5, axis=-1)
+        t = jax.lax.dynamic_update_slice_in_dim(
+            t, window + contrib, i + 12, axis=-1)
+        return t, c
+
+    t, c = jax.lax.fori_loop(0, NDIGITS, body, (t, c0))
     # result = t[16..33] + carry c at digit 16
-    t[16] = t[16] + c
-    res, carry = _carry_propagate(t[16:33], 17)
+    digits = [t[..., 16 + i] for i in range(17)]
+    digits[0] = digits[0] + c[..., 0]
+    res, _ = _carry_propagate(digits, 17)
     # result < 2p < 2^253: digit 16 must be zero after propagation
     return _cond_sub_p(res[:NDIGITS])
 

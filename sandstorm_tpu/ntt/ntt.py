@@ -75,32 +75,41 @@ def _bitrev(n: int):
     return bit_reverse_perm(n)  # numpy; becomes a per-trace constant
 
 
-@functools.lru_cache(maxsize=None)
-def _stage_tables(n: int):
-    """Per-stage gather indices + twiddle exponents for the uniform-stage
-    radix-2 DIT butterfly network.
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _ntt_core(F, a, wpow, inverse: bool):
+    """Uniform-stage radix-2 DIT butterfly network.
 
     Every stage is expressed in the SAME shape —
         out[k] = x[idxA[k]] + w^twexp[k] * x[idxB[k]]
     (the minus branch is folded into the exponent via w^(n/2) = -1) — so the
     whole NTT compiles as ONE lax.scan body instead of log2(n) distinct
-    unrolled stages.  Compile time is O(1) in n; this is what makes the
-    2^20-point NTT compile in seconds rather than tens of minutes.
+    unrolled stages.  The per-stage gather indices are computed ON DEVICE
+    from the stage number (they're formulaic), and the twiddle table is a
+    runtime ARGUMENT: big arrays must never be compile-time constants —
+    each constant is baked into the HLO, blowing up compile time, the
+    persistent-cache entries, and (through the axon tunnel) the compile
+    request itself.
     """
+    n = a.shape[0]
     logn = n.bit_length() - 1
-    k = np.arange(n, dtype=np.int64)
-    idxA = np.zeros((logn, n), dtype=np.int32)
-    idxB = np.zeros((logn, n), dtype=np.int32)
-    twexp = np.zeros((logn, n), dtype=np.int32)
-    for s in range(1, logn + 1):
-        m = 1 << s
+    k = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(x, s):
+        m = jnp.int32(1) << s
         half = m >> 1
-        j = k % m
+        j = k & (m - 1)
         lower = j < half
-        idxA[s - 1] = np.where(lower, k, k - half)
-        idxB[s - 1] = np.where(lower, k + half, k)
-        twexp[s - 1] = (n // m) * (j % half) + np.where(lower, 0, n // 2)
-    return idxA, idxB, twexp
+        ia = jnp.where(lower, k, k - half)
+        ib = jnp.where(lower, k + half, k)
+        te = (jnp.int32(n) >> s) * (j & (half - 1)) \
+            + jnp.where(lower, 0, n // 2).astype(jnp.int32)
+        return F.add(x[ia], F.mul(x[ib], wpow[te])), None
+
+    a, _ = jax.lax.scan(stage, a, jnp.arange(1, logn + 1, dtype=jnp.int32))
+    if inverse:
+        n_inv = F.encode_int(pow(n, -1, F.MODULUS))
+        a = F.mul(a, jnp.broadcast_to(n_inv, a.shape))
+    return a
 
 
 def ntt(F, a, inverse: bool = False):
@@ -112,22 +121,9 @@ def ntt(F, a, inverse: bool = False):
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
-    wpow = jnp.asarray(_wpow_table(F, n, inverse))  # constant per trace
-    idxA, idxB, twexp = _stage_tables(n)
-
-    a = a[_bitrev(n)]
-
-    def stage(x, inputs):
-        ia, ib, te = inputs
-        tw = wpow[te]
-        return F.add(x[ia], F.mul(x[ib], tw)), None
-
-    a, _ = jax.lax.scan(
-        stage, a, (jnp.asarray(idxA), jnp.asarray(idxB), jnp.asarray(twexp)))
-    if inverse:
-        n_inv = F.encode_int(pow(n, -1, F.MODULUS))
-        a = F.mul(a, jnp.broadcast_to(n_inv, a.shape))
-    return a
+    wpow = jnp.asarray(_wpow_table(F, n, inverse))  # arg, not constant
+    a = jnp.take(a, jnp.asarray(_bitrev(n)), axis=0)
+    return _ntt_core(F, a, wpow, inverse)
 
 
 def intt(F, a):
@@ -183,13 +179,8 @@ def poly_eval(F, coeffs, z):
     return field_sum(F, F.mul(coeffs, zp), axis=0)
 
 
-# jit-wrap the public entry points (field class / sizes / scalars are static)
-import jax as _jax  # noqa: E402
-
-ntt = _jax.jit(ntt, static_argnums=(0, 2))
-intt = _jax.jit(intt, static_argnums=(0,))
-coset_lde = _jax.jit(coset_lde, static_argnums=(0, 2, 3))
-coset_eval_from_coeffs = _jax.jit(coset_eval_from_coeffs, static_argnums=(0, 2, 3))
-powers = _jax.jit(powers, static_argnums=(0, 2))
-field_sum = _jax.jit(field_sum, static_argnums=(0, 2))
-poly_eval = _jax.jit(poly_eval, static_argnums=(0,))
+# NOTE: the public entry points are deliberately NOT jit-wrapped as whole
+# functions — they stage big tables (twiddles, coset powers) as runtime
+# arguments into the jitted cores so no large compile-time constants are
+# baked into the HLO (see _ntt_core's docstring).  The field ops they call
+# are individually jitted.

@@ -33,16 +33,41 @@ from sandstorm_tpu.ntt import intt, powers, powers_host, field_sum
 from sandstorm_tpu.stark.prover import _DomainCache, _lde_and_coeffs
 
 
+GROUPS = {
+    "recursive": [
+        ("cpu", 0, 27), ("boundary", 27, 33), ("memory", 33, 41),
+        ("rc16", 41, 47), ("diluted", 47, 54), ("pedersen", 54, 79),
+        ("rc128", 79, 82), ("bitwise", 82, 93),
+    ],
+    "starknet": [
+        ("cpu", 0, 27), ("boundary", 27, 33), ("memory", 33, 41),
+        ("rc16", 41, 47), ("diluted", 47, 54), ("pedersen", 54, 79),
+        ("rc128", 79, 82), ("ecdsa", 82, 123), ("bitwise", 123, 134),
+        ("ec_op", 134, 167), ("poseidon", 167, 195),
+    ],
+}
+
+
 def main():
-    program, pub, witness = load_artifacts(
-        "/root/reference/example/array-sum.json",
-        "/root/reference/example/air-public-input.json",
-        "/root/reference/example/air-private-input.json",
-        base_dir="/root/reference/example")
-    from sandstorm_tpu.layouts.recursive import (RecursiveAirConfig as air,
-                                                 RecursiveExecutionTrace)
+    layout = sys.argv[1] if len(sys.argv) > 1 else "recursive"
+    if layout == "recursive":
+        program, pub, witness = load_artifacts(
+            "/root/reference/example/array-sum.json",
+            "/root/reference/example/air-public-input.json",
+            "/root/reference/example/air-private-input.json",
+            base_dir="/root/reference/example")
+        from sandstorm_tpu.layouts.recursive import (
+            RecursiveAirConfig as air, RecursiveExecutionTrace as trace_cls)
+    else:
+        program, pub, witness = load_artifacts(
+            "/root/reference/example/bootloader/bootloader_compiled.json",
+            "/root/reference/example/bootloader/air-public-input.json",
+            "/root/reference/example/bootloader/air-private-input.json",
+            base_dir="/root/reference/example/bootloader")
+        from sandstorm_tpu.layouts.starknet import (
+            StarknetAirConfig as air, StarknetExecutionTrace as trace_cls)
     t0 = time.time()
-    trace = RecursiveExecutionTrace(F, program, pub, witness)
+    trace = trace_cls(F, program, pub, witness)
     print(f"trace built in {time.time()-t0:.1f}s, len={trace.trace_len}")
 
     p = F.MODULUS
@@ -82,6 +107,7 @@ def main():
                 v = field_sum(F, F.mul(coeffs[col], zp), axis=0)
                 openings[(col, off)] = int(F.decode(v))
     print(f"openings at x0 in {time.time()-t0:.1f}s")
+    coeffs.clear()  # free the coefficient arrays before constraint eval
     periodic_values = [pc.eval_int(x0, p) for pc in pcs]
     ictx = IntContext(p, x0, openings, challenges, hints, periodic_values)
     host_vals = evaluate_int(constraints, ictx)
@@ -117,23 +143,16 @@ def main():
               f"({time.time()-t0:.1f}s, {len(idxs)} constraints)")
         return ok
 
-    groups = [
-        ("cpu", list(range(0, 27))),
-        ("boundary", list(range(27, 33))),
-        ("memory", list(range(33, 41))),
-        ("rc16", list(range(41, 47))),
-        ("diluted", list(range(47, 54))),
-        ("pedersen", list(range(54, 79))),
-        ("rc128", list(range(79, 82))),
-        ("bitwise", list(range(82, 93))),
-    ]
-    assert sorted(sum((g for _, g in groups), [])) == list(range(93))
+    groups = [(name, list(range(lo, hi)))
+              for (name, lo, hi) in GROUPS[layout]]
+    assert sorted(sum((g for _, g in groups), [])) == \
+        list(range(len(constraints)))
     bad_groups = []
     for name, idxs in groups:
         if not check(idxs, name):
             bad_groups.append((name, idxs))
     if not bad_groups:
-        print("ALL CONSTRAINTS LOW-DEGREE OK")
+        print(f"ALL {layout.upper()} CONSTRAINTS LOW-DEGREE OK")
         return
     for name, idxs in bad_groups:
         for i in idxs:
