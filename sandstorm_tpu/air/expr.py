@@ -20,6 +20,10 @@ full-domain denominators are batch-inverted with associative scans, and
 X^k-style zerofiers are evaluated on their short period and tiled.
 """
 
+import functools
+import math
+
+import jax
 import jax.numpy as jnp
 
 
@@ -227,7 +231,7 @@ class LdeContext:
     """
 
     def __init__(self, F, columns, blowup, domain_fn, x_pow_fn,
-                 challenges=(), hints=(), periodic=()):
+                 challenges=(), hints=(), periodic=(), coset=None):
         self.F = F
         self.columns = columns
         self.blowup = blowup
@@ -236,11 +240,26 @@ class LdeContext:
         self.challenges = challenges
         self.hints = hints
         self.periodic = periodic
+        self.coset = coset  # required for chunked evaluation
         self.memo = {}
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_kernel(B: int, shift: int):
+    """Jitted wrap-around row gather: rows [start+shift, start+shift+B) mod n
+    of a device-resident [n, L] column.  One kernel per (B, shift) pair —
+    shift is the static trace-offset roll, start the dynamic chunk base."""
+    @jax.jit
+    def f(arr, start):
+        n = arr.shape[0]
+        idx = (start + jnp.uint32(shift)
+               + jnp.arange(B, dtype=jnp.uint32)) % jnp.uint32(n)
+        return jnp.take(arr, idx, axis=0)
+    return f
+
+
 def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
-                 fold=None):
+                 fold=None, chunk_size: int = None):
     """Evaluate expressions over the whole LDE domain; returns list of [N, L].
 
     Memoized over the hash-consed DAG.  Values are tracked as
@@ -266,6 +285,8 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
     N = domain_size
     if N is None:
         N = next(iter(ctx.columns.values())).shape[0]
+    if chunk_size is not None and chunk_size < N:
+        return _evaluate_lde_chunked(exprs, ctx, N, fold, chunk_size)
 
     # reference counts over the hash-consed DAG (+1 per root occurrence)
     refs = {}
@@ -368,7 +389,171 @@ def evaluate_lde(exprs, ctx: LdeContext, domain_size: int = None,
             out.append(v)
         else:
             acc = fold(acc, v, i)
+            # bound the async dispatch queue: without a sync, dozens of
+            # queued constraint evaluations pre-allocate their full-length
+            # output buffers simultaneously and exhaust HBM
+            jax.block_until_ready(acc)
     return out if fold is None else acc
+
+
+def _evaluate_lde_chunked(exprs, ctx: LdeContext, N: int, fold, B: int):
+    """Chunked constraint evaluation: process the LDE domain in B-row
+    windows so every live intermediate is [B, L] instead of [N, L]
+    (SURVEY.md §7 hard part 5 — the 195-constraint starknet AIR over a
+    2^22-point domain exhausts HBM with full-length intermediates).
+
+    Key fact making this cheap: chunks are aligned (B | s) and every
+    short-period value — periodic columns, X^e with period N/gcd(N,e) <= B,
+    and anything composed solely of them (zerofier inverses!) — is
+    IDENTICAL in every chunk.  Those values are computed once and cached
+    across chunks; only chunk-variant values (trace-column gathers, X^e
+    with long period, and their compositions) are recomputed per chunk,
+    with the same refcount eviction as the full-domain path.
+
+    Requires `fold`; returns the [N, L] folded accumulator assembled from
+    per-chunk [B, L] results.
+    """
+    assert fold is not None, "chunked evaluation requires a fold"
+    assert N % B == 0 and ctx.coset is not None
+    F = ctx.F
+    p = F.MODULUS
+    w = F.root_of_unity_int(N)
+    nodes = walk(exprs)
+
+    # chunk-variance analysis over the hash-consed DAG
+    variant = {}
+    for n_ in nodes:
+        k = n_.key
+        op = k[0]
+        if op == "X" or op == "trace":
+            variant[id(n_)] = True
+        elif op == "pow" and n_.args[0].key[0] == "X":
+            variant[id(n_)] = (N // math.gcd(N, k[2])) > B
+        elif op in ("const", "challenge", "hint", "periodic"):
+            variant[id(n_)] = False
+        else:
+            variant[id(n_)] = any(variant[id(a)] for a in n_.args)
+
+    refs = {}
+    for node in nodes:
+        for child in node.args:
+            refs[id(child)] = refs.get(id(child), 0) + 1
+    for e in exprs:
+        refs[id(e)] = refs.get(id(e), 0) + 1
+
+    inv_memo = {}        # invariant nodes: persists across chunks
+    var_tbl = {}         # e -> [B, L] powers of w^e (variant X^e base table)
+
+    def tile_to(val, period, target):
+        if period == target:
+            return val
+        if period == 0:
+            return jnp.broadcast_to(val, (target,) + val.shape)
+        return jnp.tile(val, (target // period, 1))
+
+    def long_xpow(e, s):
+        """x^e on the chunk for period > B: (coset^e w^{se}) * w^{ie}."""
+        if e not in var_tbl:
+            from ..ntt import powers_host
+            var_tbl[e] = powers_host(F, pow(w, e, p), B)
+        scal = pow(ctx.coset, e, p) * pow(w, e * s % N, p) % p
+        return F.mul(var_tbl[e],
+                     jnp.broadcast_to(F.encode_int(scal), var_tbl[e].shape))
+
+    out_chunks = []
+    for s in range(0, N, B):
+        s_dev = jnp.asarray(s, dtype=jnp.uint32)
+        var_memo = {}
+        var_refs = dict(refs)
+
+        def consume(n_):
+            if variant[id(n_)]:
+                if id(n_) not in var_memo:
+                    return ev(n_)  # unmemoized trace leaf
+                r = var_memo[id(n_)]
+                var_refs[id(n_)] -= 1
+                if var_refs[id(n_)] == 0:
+                    del var_memo[id(n_)]
+                return r
+            return ev(n_)
+
+        def ev(n_):
+            vid = id(n_)
+            if not variant[vid]:
+                r = inv_memo.get(vid)
+                if r is not None:
+                    return r
+            else:
+                r = var_memo.get(vid)
+                if r is not None:
+                    return r
+            k = n_.key
+            op = k[0]
+            if op == "X":
+                r = (long_xpow(1, s), B)
+            elif op == "const":
+                r = (F.encode_int(k[1]), 0)
+            elif op == "trace":
+                # not memoized (same rationale as the full-domain path)
+                col, off = k[1], k[2]
+                arr = ctx.columns[col]
+                shift = (off * ctx.blowup) % arr.shape[0]
+                return (_gather_kernel(B, shift)(arr, s_dev), B)
+            elif op == "challenge":
+                r = (ctx.challenges[k[1]], 0)
+            elif op == "hint":
+                r = (ctx.hints[k[1]], 0)
+            elif op == "periodic":
+                arr = ctx.periodic[k[1]]()
+                assert B % arr.shape[0] == 0, "periodic column period > chunk"
+                r = (arr, arr.shape[0])
+            elif op in ("add", "sub", "mul"):
+                ev(n_.args[0])
+                ev(n_.args[1])
+                a, pa = consume(n_.args[0])
+                b, pb = consume(n_.args[1])
+                pr = max(pa, pb)
+                r = (getattr(F, op)(tile_to(a, pa, pr), tile_to(b, pb, pr)),
+                     pr)
+            elif op == "neg":
+                ev(n_.args[0])
+                a, pa = consume(n_.args[0])
+                r = (F.neg(a), pa)
+            elif op == "pow":
+                e = k[2]
+                base = n_.args[0]
+                if base.key[0] == "X":
+                    period = N // math.gcd(N, e)
+                    if period > B:
+                        r = (long_xpow(e, s), B)
+                    else:
+                        r = (ctx.x_pow_fn(e, period), period)
+                else:
+                    ev(base)
+                    a, pa = consume(base)
+                    r = (F.pow_static(a, e), pa)
+            elif op == "inv":
+                ev(n_.args[0])
+                v, pv = consume(n_.args[0])
+                if pv == 0:
+                    r = (F.inv(v), 0)
+                else:
+                    r = (F.batch_inv(v, axis=0), pv)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown node {op}")
+            (var_memo if variant[vid] else inv_memo)[vid] = r
+            return r
+
+        acc = None
+        for i, e in enumerate(exprs):
+            ev(e)
+            v, pv = consume(e)
+            v = tile_to(v, pv, B)
+            acc = fold(acc, v, i)
+        # bound the async dispatch queue per chunk
+        jax.block_until_ready(acc)
+        out_chunks.append(acc)
+    return jnp.concatenate(out_chunks, axis=0)
 
 
 class ScalarContext:

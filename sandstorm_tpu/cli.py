@@ -41,8 +41,13 @@ def main(argv=None):
     parser.add_argument("--program", required=True)
     parser.add_argument("--air-public-input", required=True)
     parser.add_argument("--layout", default=None,
-                        help="override layout (default: from public input; "
-                             "currently implemented: plain)")
+                        help="override layout (default: from public input)")
+    parser.add_argument("--scheme", default="generic",
+                        choices=["generic", "eth", "cairo"],
+                        help="proof scheme: generic (device Blake2s Merkle "
+                             "+ generic coin), eth (EthVerifierClaim: masked"
+                             "-Keccak Merkle + Solidity coin), cairo (Cairo"
+                             "VerifierClaim: friendly Merkle + Cairo coin)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     prove_p = sub.add_parser("prove")
@@ -65,7 +70,8 @@ def main(argv=None):
             args.program, args.air_public_input, args.air_private_input)
         F = _field_for_prime(program.prime)
         layout = Layout(args.layout) if args.layout else pub.layout
-        claim = CairoClaim(program, pub, field=F, layout=layout)
+        claim = CairoClaim(program, pub, field=F, layout=layout,
+                           scheme=args.scheme)
         options = ProofOptions(
             num_queries=args.num_queries,
             lde_blowup_factor=args.lde_blowup_factor,
@@ -90,7 +96,8 @@ def main(argv=None):
         pub = AirPublicInput.from_json(args.air_public_input)
         F = _field_for_prime(program.prime)
         layout = Layout(args.layout) if args.layout else pub.layout
-        claim = CairoClaim(program, pub, field=F, layout=layout)
+        claim = CairoClaim(program, pub, field=F, layout=layout,
+                           scheme=args.scheme)
         with open(args.proof, "rb") as f:
             proof = Proof.from_bytes(f.read())
         now = time.time()

@@ -55,23 +55,37 @@ def _g(v, a, b, c, d, x, y):
 
 
 def _compress(h, m, t: int, last: bool):
-    """One Blake2s compression: h = list of 8 arrays, m = list of 16 arrays."""
+    """One Blake2s compression: h = list of 8 arrays, m = list of 16 arrays.
+
+    The 10 rounds run under ONE lax.scan over the SIGMA schedule (per-round
+    message words are a gather) — a fully unrolled 10-round graph takes
+    XLA:CPU many minutes to compile; the scan body is 10x smaller and the
+    semantics identical.
+    """
+    import jax
     v = list(h) + [jnp.broadcast_to(U32(iv), h[0].shape) for iv in IV]
     v[12] = v[12] ^ U32(t & 0xFFFFFFFF)
     v[13] = v[13] ^ U32((t >> 32) & 0xFFFFFFFF)
     if last:
         v[14] = v[14] ^ U32(0xFFFFFFFF)
-    for rnd in range(10):
-        s = SIGMA[rnd]
-        _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
-        _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
-        _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
-        _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
-        _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
-        _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
-        _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
-        _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
-    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    m_arr = jnp.stack(m, axis=0)                        # [16, ...]
+    sigma = jnp.asarray(SIGMA, dtype=jnp.int32)         # [10, 16]
+
+    def round_body(vs, s):
+        ms = jnp.take(m_arr, s, axis=0)                 # [16, ...]
+        v = [vs[i] for i in range(16)]
+        _g(v, 0, 4, 8, 12, ms[0], ms[1])
+        _g(v, 1, 5, 9, 13, ms[2], ms[3])
+        _g(v, 2, 6, 10, 14, ms[4], ms[5])
+        _g(v, 3, 7, 11, 15, ms[6], ms[7])
+        _g(v, 0, 5, 10, 15, ms[8], ms[9])
+        _g(v, 1, 6, 11, 12, ms[10], ms[11])
+        _g(v, 2, 7, 8, 13, ms[12], ms[13])
+        _g(v, 3, 4, 9, 14, ms[14], ms[15])
+        return jnp.stack(v, axis=0), None
+
+    v_arr, _ = jax.lax.scan(round_body, jnp.stack(v, axis=0), sigma)
+    return [h[i] ^ v_arr[i] ^ v_arr[i + 8] for i in range(8)]
 
 
 def blake2s_words(msg_words, msg_len_bytes: int = None):

@@ -320,7 +320,11 @@ def _periodic_columns():
     ped_y = PeriodicColumn.from_table([pt[1] for pt in ped_pts],
                                       PEDERSEN_STEP_ROWS, p, r512)
 
-    gen_chain = curve_mod.doublings(curve_mod.GENERATOR, 252)
+    # the generator exponentiation caps at 250 doublings
+    # (gen_ec_mad_steps max_point_doublings=250), so the table holds
+    # G*2^0..G*2^250 then 5 copies of G*2^250 — verified against the
+    # deployed verifier's GENERATOR_POINTS_{X,Y}_COEFFS
+    gen_chain = curve_mod.doublings(curve_mod.GENERATOR, 251)
     gen_pts = gen_chain + [gen_chain[-1]] * (256 - len(gen_chain))
     r256 = Fp252.root_of_unity_int(256)
     gen_x = PeriodicColumn.from_table([pt[0] for pt in gen_pts],
@@ -339,9 +343,15 @@ def _periodic_columns():
         full_keys.append(PeriodicColumn.from_table(
             table, POSEIDON_STEP_ROWS, p, r8))
 
+    # the partial-round constraint folds the MDS action of the two prior
+    # rounds, so the periodic key is the matching combination of three
+    # consecutive optimized keys: k[j] = OPT[j+3] - 2 OPT[j+2] - 4 OPT[j+1]
+    # (verified against StarkWare's deployed verifier coefficients)
     opt = poseidon_builtin.optimized_partial_round_keys()
-    table0 = [opt[3 + k] for k in range(61)] + [0] * 3
-    table1 = [opt[64 + k] for k in range(19)] + [0] * 13
+    table0 = [(opt[k + 3] - 2 * opt[k + 2] - 4 * opt[k + 1]) % p
+              for k in range(61)] + [0] * 3
+    table1 = [(opt[64 + k] - 2 * opt[63 + k] - 4 * opt[62 + k]) % p
+              for k in range(19)] + [0] * 13
     r64 = Fp252.root_of_unity_int(64)
     r32 = Fp252.root_of_unity_int(32)
     partial0 = PeriodicColumn.from_table(table0, POSEIDON_STEP_ROWS, p, r64)

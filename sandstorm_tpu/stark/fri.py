@@ -22,7 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..merkle import MerkleTree
 from ..ntt import intt, powers_host
 
 
@@ -92,11 +91,16 @@ def layer_rows(evals, f: int):
 class FriProver:
     """Drives commit-then-fold layers; the transcript lives in the caller."""
 
-    def __init__(self, F, options, domain_size: int, coset: int):
+    def __init__(self, F, options, domain_size: int, coset: int,
+                 scheme=None):
         self.F = F
         self.options = options
         self.N0 = domain_size
         self.coset0 = coset
+        if scheme is None:
+            from .scheme import GenericScheme
+            scheme = GenericScheme()
+        self.scheme = scheme
         self.layers = []        # list of (tree, rows_canonical_words, layer_size, coset)
         self.remainder = None   # list of python ints (coefficients)
 
@@ -116,9 +120,10 @@ class FriProver:
         F = self.F
         f = self.options.fri_folding_factor
         rows = layer_rows(evals, f)  # [N/f, f, L]
-        words = F.to_bytes_words(rows)  # [N/f, f, words-per-felt]
-        tree = MerkleTree.from_matrix_columns(
-            [words.reshape(layer_size // f, -1)])
+        # commit the f coset values of each row as f matrix columns — for
+        # the generic scheme this hashes the identical byte stream as one
+        # concatenated row
+        tree = self.scheme.commit(F, [rows[:, t, :] for t in range(f)])
         self.layers.append((tree, rows, layer_size, coset))
         return tree.root
 

@@ -26,12 +26,22 @@ import jax
 import jax.numpy as jnp
 
 from ..air.expr import LdeContext, evaluate_lde, trace_arguments
-from ..merkle import MerkleTree
 from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
+from .openings import open_columns
 from .fri import FriProver
 from .options import ProofOptions
 from .proof import Proof, QueryOpening
-from .transcript import make_coin
+from .scheme import get_scheme
+
+
+def constraint_chunk_size(F, N):
+    """Evaluation-chunk size: full domain while one [N, L] u32 array stays
+    under ~32MB, else B rows capping intermediates at that size — at
+    starknet scale (N=2^22, L=16) full-length intermediates are 256MB each
+    and the live set exhausts HBM."""
+    budget_words = 1 << 23
+    B = max(1 << 14, budget_words // F.NLIMBS)
+    return None if N <= B else B
 
 
 def _lde_and_coeffs(F, column, blowup, coset):
@@ -41,9 +51,6 @@ def _lde_and_coeffs(F, column, blowup, coset):
     return coeffs, lde
 
 
-def _commit_columns(F, lde_cols):
-    words = [F.to_bytes_words(c) for c in lde_cols]
-    return MerkleTree.from_matrix_columns(words)
 
 
 class _DomainCache:
@@ -72,8 +79,10 @@ class _DomainCache:
         return self._cache[key]
 
 
-def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
+def prove(F, air_config, trace, options: ProofOptions = None,
+          scheme=None) -> Proof:
     options = options or ProofOptions()
+    scheme = get_scheme(scheme)
     p = F.MODULUS
     n = trace.trace_len
     blowup = options.lde_blowup_factor
@@ -83,14 +92,14 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
     pub = trace.public_input
 
     dom = _DomainCache(F, N, coset)
-    coin = make_coin(pub, options, n)
+    coin = scheme.make_coin(pub, options, n)
 
     # -- 1/2: base trace commit -------------------------------------------
     base_cols = trace.base_columns()
     base_coeffs, base_lde = {}, {}
     for i, col in base_cols.items():
         base_coeffs[i], base_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
-    base_tree = _commit_columns(F, [base_lde[i] for i in sorted(base_lde)])
+    base_tree = scheme.commit(F, [base_lde[i] for i in sorted(base_lde)])
     coin.reseed_with_digest(base_tree.root)
 
     # -- 3: challenges + extension columns --------------------------------
@@ -99,7 +108,7 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
     ext_coeffs, ext_lde = {}, {}
     for i, col in ext_cols.items():
         ext_coeffs[i], ext_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
-    ext_tree = _commit_columns(F, [ext_lde[i] for i in sorted(ext_lde)])
+    ext_tree = scheme.commit(F, [ext_lde[i] for i in sorted(ext_lde)])
     coin.reseed_with_digest(ext_tree.root)
 
     # -- 4: constraint evaluation + composition ----------------------------
@@ -117,6 +126,7 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
         challenges=[F.encode_int(c) for c in challenges],
         hints=[F.encode_int(h) for h in hints],
         periodic=[pc.lde_fn(F, dom) for pc in periodic_cols],
+        coset=coset,
     )
 
     # composition = sum_i alpha^i C_i, folded as constraint values stream
@@ -127,7 +137,8 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
         return term if acc is None else F.add(acc, term)
 
     comp = evaluate_lde(constraints, ctx, domain_size=N,
-                        fold=fold_composition)
+                        fold=fold_composition,
+                        chunk_size=constraint_chunk_size(F, N))
 
     # split C(x) = C0(x^2) + x*C1(x^2); commit [C0, C1] on the LDE domain
     m = air_config.CE_BLOWUP_FACTOR
@@ -137,30 +148,24 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
     comp_col_coeffs = [comp_coeffs_all[j::m] for j in range(m)]
     comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
                 for cc in comp_col_coeffs]
-    comp_tree = _commit_columns(F, comp_lde)
+    comp_tree = scheme.commit(F, comp_lde)
     coin.reseed_with_digest(comp_tree.root)
 
     # -- 5: OODS openings --------------------------------------------------
     z = coin.draw_felt(p)
     targs = trace_arguments(constraints)
-    all_coeffs = {**base_coeffs, **ext_coeffs}
-    # per distinct offset, one traced powers table at the point z*g^off
-    # (powers() is compiled once per shape and reused across offsets)
-    offsets = sorted({off for (_, off) in targs})
-    oods_values = {}
-    for off in offsets:
-        pt = z * pow(g, off % n, p) % p
-        zp_off = powers(F, F.encode_int(pt), n)
-        for (col, o) in targs:
-            if o == off:
-                v = field_sum(F, F.mul(all_coeffs[col], zp_off), axis=0)
-                oods_values[(col, off)] = int(F.decode(v))
-    oods_trace_values = [oods_values[a] for a in targs]
+    # batched openings: all columns (trace + composition) at all points
+    # in ONE device round trip (stark/openings.py)
     z_m = pow(z, m, p)
-    zp_m = powers(F, F.encode_int(z_m), n)
-    oods_comp_values = [
-        int(F.decode(field_sum(F, F.mul(cc, zp_m), axis=0)))
-        for cc in comp_col_coeffs]
+    comp_base = 1000  # key offset for composition columns in the stack
+    coeffs_all = {**base_coeffs, **ext_coeffs}
+    stack = dict(coeffs_all)
+    for l, cc in enumerate(comp_col_coeffs):
+        stack[comp_base + l] = cc
+    oods_values, extra = open_columns(
+        F, stack, targs, z, g, n, extra_points=[z_m])
+    oods_trace_values = [oods_values[a] for a in targs]
+    oods_comp_values = [extra[0][comp_base + l] for l in range(m)]
     coin.reseed_with_field_elements(p, oods_trace_values + oods_comp_values)
 
     # -- DEEP composition --------------------------------------------------
@@ -170,7 +175,7 @@ def prove(F, air_config, trace, options: ProofOptions = None) -> Proof:
         oods_trace_values, oods_comp_values, z, g, n, alpha_deep)
 
     # -- 6: FRI ------------------------------------------------------------
-    fri = FriProver(F, options, N, coset)
+    fri = FriProver(F, options, N, coset, scheme=scheme)
     fri_roots = []
     evals = deep
     layer_sizes = fri.num_layers()

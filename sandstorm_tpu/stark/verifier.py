@@ -7,9 +7,8 @@ and walks the FRI layers down to the remainder polynomial.
 """
 
 from ..air.expr import IntContext, evaluate_int, trace_arguments
-from ..merkle import MerkleTree
 from .fri import fri_fold_host
-from .transcript import make_coin
+from .scheme import get_scheme
 
 
 class VerificationError(Exception):
@@ -21,12 +20,9 @@ def _check(cond, msg):
         raise VerificationError(msg)
 
 
-def _felts_bytes(vals):
-    return b"".join(int(v).to_bytes(32, "little") for v in vals)
-
-
 def verify(F, air_config, public_input, proof,
-           required_security_bits: int = 80) -> bool:
+           required_security_bits: int = 80, scheme=None) -> bool:
+    scheme = get_scheme(scheme)
     p = F.MODULUS
     options = proof.options
     _check(options.security_level_bits() >= required_security_bits,
@@ -43,7 +39,7 @@ def verify(F, air_config, public_input, proof,
     f = options.fri_folding_factor
 
     # -- replay transcript -------------------------------------------------
-    coin = make_coin(public_input, options, n)
+    coin = scheme.make_coin(public_input, options, n)
     coin.reseed_with_digest(proof.base_root)
     challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
     coin.reseed_with_digest(proof.ext_root)
@@ -113,8 +109,7 @@ def verify(F, air_config, public_input, proof,
                 (opening.base_row, opening.base_path, proof.base_root, "base"),
                 (opening.ext_row, opening.ext_path, proof.ext_root, "ext"),
                 (opening.comp_row, opening.comp_path, proof.comp_root, "comp")):
-            leaf = MerkleTree.hash_row_host(_felts_bytes(vals))
-            _check(MerkleTree.verify(root, idx, leaf, path),
+            _check(scheme.verify_row(F, root, idx, vals, path),
                    f"{label} Merkle path failed at query {idx}")
 
         x = coset * pow(w_N, idx, p) % p
@@ -148,8 +143,7 @@ def verify(F, air_config, public_input, proof,
             t_pos = cur_idx // half
             row = opening.fri_rows[li]
             _check(len(row) == f, "FRI row width")
-            leaf = MerkleTree.hash_row_host(_felts_bytes(row))
-            _check(MerkleTree.verify(proof.fri_roots[li], i, leaf,
+            _check(scheme.verify_row(F, proof.fri_roots[li], i, row,
                                      opening.fri_paths[li]),
                    f"FRI layer {li} Merkle path failed")
             _check(row[t_pos] == cur_val,

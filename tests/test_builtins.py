@@ -72,7 +72,11 @@ class TestPoseidon:
 
     def test_instance_trace_rounds(self):
         t = poseidon.InstanceTrace.new(0, 1, 2, 3)
-        assert len(t.round_states) == 8 + 83 + 1
+        # optimized-variant witness: 4+4 full-round state records and the
+        # 83 partial-round S-box inputs; output matches the plain permutation
+        assert len(t.full_round_states_1st_half) == 4
+        assert len(t.full_round_states_2nd_half) == 4
+        assert len(t.partial_round_states) == 83
         assert [t.output0, t.output1, t.output2] == poseidon.permute([1, 2, 3])
 
 

@@ -55,3 +55,21 @@ def test_merkle_roundtrip():
         # tampered leaf must fail
         bad = hashlib.blake2s(b"bad", digest_size=32).digest()
         assert not MerkleTree.verify(root, idx, bad, path)
+
+
+def test_keccak256_vs_host():
+    """Device Keccak-256 KAT against the host implementation (which is
+    itself KAT'd against known Ethereum keccak vectors in test_crypto)."""
+    from sandstorm_tpu.hashing.keccak import keccak256_words
+    from sandstorm_tpu.crypto.hashes import keccak256
+    rng = random.Random(11)
+    for nwords in (1, 8, 16, 33, 34, 35, 68):
+        rows = [[rng.randrange(1 << 32) for _ in range(nwords)]
+                for _ in range(3)]
+        got = np.asarray(keccak256_words(
+            jnp.asarray(rows, dtype=jnp.uint32)))
+        for r, row in enumerate(rows):
+            data = b"".join(int(w).to_bytes(4, "little") for w in row)
+            want = keccak256(data)
+            have = b"".join(int(w).to_bytes(4, "little") for w in got[r])
+            assert have == want, (nwords, r)

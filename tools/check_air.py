@@ -30,6 +30,7 @@ from sandstorm_tpu.air.expr import (LdeContext, IntContext, evaluate_lde,
 from sandstorm_tpu.examples import load_artifacts
 from sandstorm_tpu.fields.fp252 import Fp252 as F
 from sandstorm_tpu.ntt import intt, powers, powers_host, field_sum
+from sandstorm_tpu.stark.openings import open_columns
 from sandstorm_tpu.stark.prover import _DomainCache, _lde_and_coeffs
 
 
@@ -82,43 +83,56 @@ def main():
     challenges = [rng.randrange(1, p) for _ in range(air.NUM_CHALLENGES)]
     hints = air.gen_hints(n, pub, challenges, p)
 
+    # phase 1: interpolate all columns (coeffs only — LDEs after openings
+    # so the two never coexist at full residency)
     t0 = time.time()
     base_cols = trace.base_columns()
     ext_cols = trace.build_extension_columns(challenges)
-    coeffs, ldes = {}, {}
-    for i, col in {**base_cols, **ext_cols}.items():
-        coeffs[i], ldes[i] = _lde_and_coeffs(F, col, blowup, coset)
-        ldes[i].block_until_ready()
-        print(f"  col {i} LDE done {time.time()-t0:.1f}s")
+    all_cols = {**base_cols, **ext_cols}
+    coeffs = {}
+    for i, col in all_cols.items():
+        coeffs[i] = intt(F, col)
+        coeffs[i].block_until_ready()
+    all_cols.clear()
+    trace._device_cols = None  # free the encoded trace columns
+    print(f"interpolated in {time.time()-t0:.1f}s")
 
     constraints = air.constraints(n, p, g)
     targs = trace_arguments(constraints)
     pcs = air.periodic_columns(n)
 
     x0 = rng.randrange(1, p)
-    # host-side openings of every needed column poly at x0*g^off
+    # batched openings of every column poly at x0*g^off (one device call)
     t0 = time.time()
-    openings = {}
-    for off in sorted({o for (_, o) in targs}):
-        pt = x0 * pow(g, off % n, p) % p
-        zp = powers(F, F.encode_int(pt), n)
-        for (col, o) in targs:
-            if o == off:
-                v = field_sum(F, F.mul(coeffs[col], zp), axis=0)
-                openings[(col, off)] = int(F.decode(v))
+    openings, _ = open_columns(F, coeffs, targs, x0, g, n)
     print(f"openings at x0 in {time.time()-t0:.1f}s")
-    coeffs.clear()  # free the coefficient arrays before constraint eval
+
+    # phase 2: coset LDEs, device-resident (10 cols x [N, 16] u32 fits —
+    # chunked constraint evaluation keeps all intermediates at [B, L])
+    import jax
+    from sandstorm_tpu.ntt import coset_eval_from_coeffs
+    from sandstorm_tpu.stark.prover import constraint_chunk_size
+    t0 = time.time()
+    ldes = {}
+    for i in sorted(coeffs):
+        ldes[i] = coset_eval_from_coeffs(F, coeffs[i], N, coset)
+        ldes[i].block_until_ready()
+        del coeffs[i]
+        print(f"  col {i} LDE done {time.time()-t0:.1f}s")
+    del all_cols
     periodic_values = [pc.eval_int(x0, p) for pc in pcs]
     ictx = IntContext(p, x0, openings, challenges, hints, periodic_values)
     host_vals = evaluate_int(constraints, ictx)
 
     def device_vals_at_x0(idxs):
+        exprs = [constraints[i] for i in idxs]
         ctx = LdeContext(
             F, columns=ldes, blowup=blowup, domain_fn=dom.domain,
             x_pow_fn=dom.x_pow,
             challenges=[F.encode_int(c) for c in challenges],
             hints=[F.encode_int(h) for h in hints],
-            periodic=[pc.lde_fn(F, dom) for pc in pcs])
+            periodic=[pc.lde_fn(F, dom) for pc in pcs],
+            coset=coset)
         # random-weighted sum so one pass covers a whole subset
         weights = {i: rng.randrange(1, p) for i in idxs}
 
@@ -127,20 +141,28 @@ def main():
             term = F.mul(cv, jnp.broadcast_to(w, cv.shape))
             return term if acc is None else F.add(acc, term)
 
-        comb = evaluate_lde([constraints[i] for i in idxs], ctx,
-                            domain_size=N, fold=fold)
+        comb = evaluate_lde(exprs, ctx, domain_size=N, fold=fold,
+                            chunk_size=constraint_chunk_size(F, N))
         cf = intt(F, comb)
         cf = F.mul(cf, powers_host(F, pow(coset, -1, p), N))
-        v = field_sum(F, F.mul(cf, powers(F, F.encode_int(x0), N)), axis=0)
+        vals, _ = open_columns(F, {0: cf}, [(0, 0)], x0, 1, N)
         expect = sum(weights[i] * host_vals[i] for i in idxs) % p
-        return int(F.decode(v)), expect
+        return vals[(0, 0)], expect
+
+    def hbm():
+        try:
+            s = jax.local_devices()[0].memory_stats()
+            return f"{s.get('bytes_in_use', 0)/2**30:.2f}G in use"
+        except Exception:
+            return "?"
 
     def check(idxs, label):
         t0 = time.time()
+        print(f"{label}: start, hbm {hbm()}", flush=True)
         got, expect = device_vals_at_x0(idxs)
         ok = got == expect
         print(f"{label}: {'OK' if ok else 'MISMATCH'} "
-              f"({time.time()-t0:.1f}s, {len(idxs)} constraints)")
+              f"({time.time()-t0:.1f}s, {len(idxs)} constraints, hbm {hbm()})")
         return ok
 
     groups = [(name, list(range(lo, hi)))
