@@ -83,7 +83,10 @@ class LeafVariantMerkleTree:
         return self
 
     def _unhashed_merge(self, a, b):
-        enc = (int(x).to_bytes(32, "big") if isinstance(x, int) else x
+        # raw-felt leaves serialize in Montgomery form, the byte convention
+        # of the tree's Keccak hash (crypto/src/hash/keccak.rs:50-57)
+        from .hashes import to_montgomery_bytes
+        enc = (to_montgomery_bytes(x) if isinstance(x, int) else x
                for x in (a, b))
         return self.H.hash(b"".join(enc))
 

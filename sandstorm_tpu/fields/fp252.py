@@ -376,6 +376,23 @@ class Fp252:
         hi = canonical[..., 1::2]
         return lo | (hi << 16)
 
+    @classmethod
+    def to_mont_be_words(cls, a):
+        """Montgomery-form 32-byte BIG-endian stream as LE u32 words: [..., 8].
+
+        The element's raw digit array IS its Montgomery representation
+        (R = 2^256); this packs it as the byte stream produced by the
+        reference's to_montgomery serialization (crypto/src/utils.rs) —
+        the input convention of its Keccak256HashFn (hash/keccak.rs:50-57).
+        """
+        d = a  # [..., 16] 16-bit digits, little-endian digit order
+        rev = d[..., ::-1]  # big-endian digit order
+        # byte stream: each digit as 2 BE bytes; u32 word j = bytes 4j..4j+3 LE
+        hi_d = rev[..., 0::2]  # digits at stream bytes 4j, 4j+1
+        lo_d = rev[..., 1::2]  # digits at stream bytes 4j+2, 4j+3
+        return ((hi_d >> 8) | ((hi_d & U32(0xFF)) << 8)
+                | ((lo_d >> 8) << 16) | ((lo_d & U32(0xFF)) << 24))
+
 
 # jit-wrap the hot public ops (see _jit.py for rationale)
 from ._jit import jit_class_ops as _jit_class_ops  # noqa: E402
@@ -383,7 +400,7 @@ from ._jit import jit_class_ops as _jit_class_ops  # noqa: E402
 _jit_class_ops(
     Fp252,
     ["add", "sub", "neg", "mul", "sqr", "inv", "from_mont", "to_bytes_words",
-     "to_mont_digits", "_montmul"],
+     "to_mont_be_words", "to_mont_digits", "_montmul"],
     static=[("pow_static", (1,)), ("pow_bits_loop", (1, 2)), ("batch_inv", (1,)),
             ("mul_scalar", (1,))],
 )

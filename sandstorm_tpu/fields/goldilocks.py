@@ -68,6 +68,15 @@ class GL:
         out[..., 1] = (arr >> np.uint64(32)).astype(np.uint32)
         return jnp.asarray(out)
 
+    @classmethod
+    def encode_canonical_u64(cls, arr):
+        """numpy [..., 4] uint64 LE-word canonical values (the trace
+        builders' field-agnostic store) -> device elements; Goldilocks
+        values occupy word 0 only."""
+        arr = np.asarray(arr, dtype=np.uint64)
+        assert not arr[..., 1:].any(), "value exceeds the Goldilocks field"
+        return cls.encode_u64(arr[..., 0])
+
     @staticmethod
     def decode(arr):
         """[..., 2] uint32 array -> numpy object array of python ints."""

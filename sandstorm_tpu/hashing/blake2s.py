@@ -84,7 +84,11 @@ def _compress(h, m, t: int, last: bool):
         _g(v, 3, 4, 9, 14, ms[14], ms[15])
         return jnp.stack(v, axis=0), None
 
-    v_arr, _ = jax.lax.scan(round_body, jnp.stack(v, axis=0), sigma)
+    # under shard_map the message is varying over the mesh axis while the
+    # IV-derived carry is not; adding a message-derived zero makes the scan
+    # carry's varying-axes set match its output (axis-name agnostic)
+    v_init = jnp.stack(v, axis=0) + m_arr[0] * U32(0)
+    v_arr, _ = jax.lax.scan(round_body, v_init, sigma)
     return [h[i] ^ v_arr[i] ^ v_arr[i + 8] for i in range(8)]
 
 

@@ -73,3 +73,149 @@ class MerkleTree:
     def hash_row_host(row_words_le: bytes) -> bytes:
         """Host mirror of the device leaf hash (input: canonical LE bytes)."""
         return blake2s_host(row_words_le)
+
+
+def _words_to_felt_limbs(words_np):
+    """[N, 8] LE-packed digest words -> [N, 4] LE u64 limbs of the felt
+    obtained by reading the 32-byte digest big-endian (the friendly tree's
+    Blake-to-felt boundary conversion, mixed.rs:148-156)."""
+    u8 = np.ascontiguousarray(words_np.astype("<u4")).view(np.uint8)
+    u8 = u8.reshape(words_np.shape[0], 32)[:, ::-1]  # reverse = LE int bytes
+    return np.ascontiguousarray(u8).view("<u8").reshape(-1, 4)
+
+
+class FriendlyMerkleTreeFast:
+    """FriendlyMerkleTree with device row/low-level hashing and native
+    (C++) batched Pedersen for the algebraic top layers.
+
+    Bit-identical to crypto/merkle_variants.FriendlyMerkleTree: rows hashed
+    with MaskedBlake2s<20> over Montgomery-form felts, node merges below
+    depth n_friendly with MaskedBlake2s, the top n_friendly layers with the
+    Pedersen hash after a big-endian digest->felt boundary conversion.
+    """
+
+    def __init__(self, blake_levels, felt_levels, single_col):
+        self._blake_levels = blake_levels      # device [M, 8] word arrays
+        self._felt_levels = felt_levels        # numpy [M, 4] u64 limb arrays
+        self.single_col = single_col
+        self._host_blake = None
+
+    @classmethod
+    def from_mont_word_columns(cls, F, word_cols, n_friendly: int,
+                               n_unmasked: int = 20):
+        from .hashing.blake2s import hash_rows, hash_node_pairs
+        from .native import pedersen_hash_pairs
+        zero_words = (32 - n_unmasked) // 4
+        assert (32 - n_unmasked) % 4 == 0
+
+        def mask(d):  # keep the n_unmasked LEAST-significant digest bytes
+            return d.at[..., :zero_words].set(0)
+
+        single = len(word_cols) == 1
+        blake_levels = []
+        if single:
+            # felt leaves, every layer algebraic
+            felts = _words_to_felt_limbs(
+                np.asarray(jax.device_get(word_cols[0])))
+            # NOTE: single-column leaves are canonical felts, not digests —
+            # callers pass canonical (non-Montgomery) words in this mode
+            felt_levels = [felts]
+        else:
+            leaves = mask(hash_rows(word_cols))
+            blake_levels.append(leaves)
+            height = int(leaves.shape[0]).bit_length() - 1
+            for _ in range(max(height - n_friendly, 0)):
+                blake_levels.append(mask(hash_node_pairs(blake_levels[-1])))
+            felt_levels = [_words_to_felt_limbs(
+                np.asarray(jax.device_get(blake_levels[-1])))]
+        while felt_levels[-1].shape[0] > 1:
+            prev = felt_levels[-1]
+            felt_levels.append(pedersen_hash_pairs(prev[0::2], prev[1::2]))
+        return cls(blake_levels, felt_levels, single)
+
+    @property
+    def root(self) -> bytes:
+        limbs = self._felt_levels[-1][0]
+        return int.from_bytes(limbs.tobytes(), "little").to_bytes(32, "big")
+
+    def _host(self):
+        if self._host_blake is None:
+            self._host_blake = [np.asarray(jax.device_get(l))
+                                for l in self._blake_levels]
+        return self._host_blake
+
+    def prove(self, index: int):
+        """32-byte siblings leaf->root.  The last blake level and felt
+        level 0 are the same tree level (a boundary conversion, not a
+        merge), and a boundary felt's big-endian serialization IS the
+        digest's byte string — so every sibling serializes uniformly."""
+        path, idx = [], index
+        for level in self._host()[:-1]:
+            sib = level[idx ^ 1]
+            path.append(b"".join(int(w).to_bytes(4, "little") for w in sib))
+            idx >>= 1
+        for level in self._felt_levels[:-1]:
+            sib = level[idx ^ 1]
+            path.append(int.from_bytes(sib.tobytes(), "little")
+                        .to_bytes(32, "big"))
+            idx >>= 1
+        return path
+
+
+class MaskedKeccakMerkleTree:
+    """Device-hashed LeafVariant tree over MaskedKeccak256<N> — the
+    EthVerifierClaim's commitment (crypto/src/merkle/mod.rs:240-417) with
+    leaves and levels hashed by the vectorized Keccak kernel.
+
+    Matrix rows are Montgomery-form big-endian felt streams (the reference
+    Keccak256HashFn convention); a single-column matrix commits its raw
+    felts as unhashed leaves.  Digests are 32-byte strings with only the
+    n_unmasked most-significant bytes kept — on device that zeroes whole
+    u32 words (n_unmasked must be a multiple of 4).
+    """
+
+    def __init__(self, levels, single_col: bool):
+        self._levels = levels
+        self.single_col = single_col
+        self._host_levels = None
+
+    @classmethod
+    def from_mont_word_columns(cls, word_cols, n_unmasked: int = 20):
+        """word_cols: list of [N, 8] Montgomery-BE u32 word arrays."""
+        from .hashing.keccak import (keccak_hash_rows,
+                                     keccak_hash_node_pairs)
+        assert n_unmasked % 4 == 0
+        keep = n_unmasked // 4
+
+        def mask(d):
+            return d.at[..., keep:].set(0)
+
+        single = len(word_cols) == 1
+        if single:
+            leaves = word_cols[0]  # raw felts, unhashed
+        else:
+            leaves = mask(keccak_hash_rows(word_cols))
+        levels = [leaves]
+        while levels[-1].shape[0] > 1:
+            levels.append(mask(keccak_hash_node_pairs(levels[-1])))
+        return cls(levels, single)
+
+    @property
+    def root(self) -> bytes:
+        top = np.asarray(jax.device_get(self._levels[-1]))[0]
+        return b"".join(int(w).to_bytes(4, "little") for w in top)
+
+    def _host(self):
+        if self._host_levels is None:
+            self._host_levels = [np.asarray(jax.device_get(l))
+                                 for l in self._levels]
+        return self._host_levels
+
+    def prove(self, index: int):
+        levels = self._host()
+        path, idx = [], index
+        for level in levels[:-1]:
+            sib = level[idx ^ 1]
+            path.append(b"".join(int(w).to_bytes(4, "little") for w in sib))
+            idx >>= 1
+        return path

@@ -1,0 +1,120 @@
+"""Native (C++) host-side kernels.
+
+The TPU owns the compute path (NTT, constraint evaluation, byte-hash
+commitments); these native pieces cover the host-side hot spots the
+reference also runs on CPU — chiefly batched Pedersen hashing for the
+FriendlyMerkleTree's algebraic layers (crypto/src/hash/pedersen.rs,
+crypto/src/merkle/mod.rs:28-42).
+
+The extension compiles on demand with g++ into build/ next to this file
+and loads via ctypes; callers must handle ImportError/OSError and fall
+back to the pure-python implementations.
+"""
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pedersen.cpp")
+_SO = os.path.join(_DIR, "build", "libsandstorm_pedersen.so")
+
+
+def _build():
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-march=native",
+         "-o", _SO, _SRC],
+        check=True, capture_output=True)
+
+
+def _int_to_limbs(v: int) -> np.ndarray:
+    return np.frombuffer(int(v).to_bytes(32, "little"), dtype="<u8").copy()
+
+
+@functools.lru_cache(maxsize=1)
+def _window_tables() -> tuple:
+    """Precompute the 8-bit window tables (Montgomery limb arrays).
+
+    Window w of scalar s contributes value v = bits [8w, 8w+8):
+      w < 31: v * 2^(8w) * P_low   (the 248 low bits ride the P1/P3 chain)
+      w = 31: v * P_high           (bits 248-251 ride P2/P4)
+    exactly the split of the reference's pedersen subset-sum
+    (builtins/src/pedersen/mod.rs:63-176).
+    """
+    from ..builtins.curve import P as MOD, ec_add, ec_mul
+    from ..builtins.pedersen import shift_and_table_points
+    p0, p1, p2, p3, p4 = shift_and_table_points()
+    R = 1 << 256
+
+    def mont(v):
+        return _int_to_limbs(v * R % MOD)
+
+    table = np.zeros((2, 32, 256, 8), dtype="<u8")
+    for scalar, (lo, hi) in enumerate(((p1, p2), (p3, p4))):
+        for w in range(32):
+            base = ec_mul(1 << (8 * w), lo) if w < 31 else hi
+            acc = None
+            for v in range(1, 256):
+                acc = base if acc is None else ec_add(acc, base)
+                table[scalar, w, v, :4] = mont(acc[0])
+                table[scalar, w, v, 4:] = mont(acc[1])
+    shift = np.concatenate([mont(p0[0]), mont(p0[1])])
+    return table, shift
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    _build()
+    lib = ctypes.CDLL(_SO)
+    lib.pedersen_set_table.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.pedersen_hash_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t]
+    lib.pedersen_hash_pairs.restype = ctypes.c_int
+    table, shift = _window_tables()
+    tflat = np.ascontiguousarray(table.reshape(-1))
+    sflat = np.ascontiguousarray(shift)
+    lib.pedersen_set_table(
+        tflat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sflat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    lib._table_keepalive = (tflat, sflat)
+    return lib
+
+
+def pedersen_hash_pairs(a_limbs: np.ndarray, b_limbs: np.ndarray) -> np.ndarray:
+    """Batched pedersen_hash: [k, 4] canonical LE u64 limb arrays -> [k, 4]."""
+    lib = _lib()
+    a = np.ascontiguousarray(a_limbs, dtype="<u8")
+    b = np.ascontiguousarray(b_limbs, dtype="<u8")
+    k = a.shape[0]
+    out = np.empty((k, 4), dtype="<u8")
+    rc = lib.pedersen_hash_pairs(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), k)
+    assert rc == 0
+    return out
+
+
+def pedersen_hash_pairs_ints(a_ints, b_ints):
+    """Convenience: lists of python ints -> list of python ints."""
+    a = np.stack([_int_to_limbs(v) for v in a_ints])
+    b = np.stack([_int_to_limbs(v) for v in b_ints])
+    out = pedersen_hash_pairs(a, b)
+    return [int.from_bytes(row.tobytes(), "little") for row in out]
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False

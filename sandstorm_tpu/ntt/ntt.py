@@ -112,6 +112,25 @@ def _ntt_core(F, a, wpow, inverse: bool):
     return a
 
 
+_DEVICE_TABLES = {}
+
+
+def _wpow_table_dev(F, n: int, inverse: bool):
+    """Device-resident twiddle table, cached per (field, n, direction).
+
+    Without this every NTT call re-uploads the [n, L] numpy table through
+    the host->device tunnel (256MB per call at starknet scale).  Tables for
+    at most two sizes stay live at a time; older sizes are evicted.
+    """
+    key = (F.NAME, n, inverse)
+    if key not in _DEVICE_TABLES:
+        # evict tables of other sizes to bound residency
+        for k in [k for k in _DEVICE_TABLES if k[1] not in (n, n // 2, 2 * n)]:
+            del _DEVICE_TABLES[k]
+        _DEVICE_TABLES[key] = jnp.asarray(_wpow_table(F, n, inverse))
+    return _DEVICE_TABLES[key]
+
+
 def ntt(F, a, inverse: bool = False):
     """In-order radix-2 NTT of a [n, L] array; returns evaluations at w^i.
 
@@ -121,7 +140,7 @@ def ntt(F, a, inverse: bool = False):
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
-    wpow = jnp.asarray(_wpow_table(F, n, inverse))  # arg, not constant
+    wpow = _wpow_table_dev(F, n, inverse)  # runtime arg, not constant
     a = jnp.take(a, jnp.asarray(_bitrev(n)), axis=0)
     return _ntt_core(F, a, wpow, inverse)
 

@@ -21,6 +21,8 @@ host-side python ints.
 
 import functools
 import math
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,17 @@ from .fri import FriProver
 from .options import ProofOptions
 from .proof import Proof, QueryOpening
 from .scheme import get_scheme
+
+
+def _phase_logger():
+    """Wall-clock phase prints, enabled with SANDSTORM_TPU_TRACE_PHASES=1."""
+    if not os.environ.get("SANDSTORM_TPU_TRACE_PHASES"):
+        return lambda msg: None
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[prove +{time.time()-t0:7.1f}s] {msg}", flush=True)
+    return log
 
 
 def constraint_chunk_size(F, N):
@@ -93,14 +106,17 @@ def prove(F, air_config, trace, options: ProofOptions = None,
 
     dom = _DomainCache(F, N, coset)
     coin = scheme.make_coin(pub, options, n)
+    log = _phase_logger()
 
     # -- 1/2: base trace commit -------------------------------------------
     base_cols = trace.base_columns()
     base_coeffs, base_lde = {}, {}
     for i, col in base_cols.items():
         base_coeffs[i], base_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
+    log("base columns interpolated + extended")
     base_tree = scheme.commit(F, [base_lde[i] for i in sorted(base_lde)])
     coin.reseed_with_digest(base_tree.root)
+    log("base commit")
 
     # -- 3: challenges + extension columns --------------------------------
     challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
@@ -110,6 +126,11 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         ext_coeffs[i], ext_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
     ext_tree = scheme.commit(F, [ext_lde[i] for i in sorted(ext_lde)])
     coin.reseed_with_digest(ext_tree.root)
+    # the committed LDEs + coefficient arrays supersede the raw trace
+    # columns; free them (at starknet scale they hold >1GB of HBM)
+    del base_cols, ext_cols
+    trace._device_cols = None
+    log("extension commit")
 
     # -- 4: constraint evaluation + composition ----------------------------
     hints = air_config.gen_hints(n, pub, challenges, p)
@@ -139,17 +160,21 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     comp = evaluate_lde(constraints, ctx, domain_size=N,
                         fold=fold_composition,
                         chunk_size=constraint_chunk_size(F, N))
+    log("constraint evaluation")
 
     # split C(x) = C0(x^2) + x*C1(x^2); commit [C0, C1] on the LDE domain
     m = air_config.CE_BLOWUP_FACTOR
     assert m == blowup == 2, "round-1 engine assumes ce blowup == lde blowup == 2"
     comp_coeffs_all = intt(F, comp)
+    del comp
     comp_coeffs_all = F.mul(comp_coeffs_all, powers_host(F, pow(coset, -1, p), N))
     comp_col_coeffs = [comp_coeffs_all[j::m] for j in range(m)]
+    del comp_coeffs_all
     comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
                 for cc in comp_col_coeffs]
     comp_tree = scheme.commit(F, comp_lde)
     coin.reseed_with_digest(comp_tree.root)
+    log("composition commit")
 
     # -- 5: OODS openings --------------------------------------------------
     z = coin.draw_felt(p)
@@ -167,12 +192,17 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     oods_trace_values = [oods_values[a] for a in targs]
     oods_comp_values = [extra[0][comp_base + l] for l in range(m)]
     coin.reseed_with_field_elements(p, oods_trace_values + oods_comp_values)
+    # coefficient arrays served their last purpose (the openings); the
+    # query phase only reads LDE rows — free ~1.5GB before DEEP/FRI
+    del stack, coeffs_all, base_coeffs, ext_coeffs, comp_col_coeffs
+    log("OODS openings")
 
     # -- DEEP composition --------------------------------------------------
     alpha_deep = coin.draw_felt(p)
     deep = _deep_compose(
         F, dom, targs, {**base_lde, **ext_lde}, comp_lde,
         oods_trace_values, oods_comp_values, z, g, n, alpha_deep)
+    dom._cache.clear()  # drops the cached [N, L] domain + zerofier tables
 
     # -- 6: FRI ------------------------------------------------------------
     fri = FriProver(F, options, N, coset, scheme=scheme)
@@ -188,14 +218,17 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         beta = coin.draw_felt(p)
         evals = fri.fold(evals, layer_size, layer_coset, beta)
         layer_coset = pow(layer_coset, f, p)
+    log("FRI layers")
     remainder = fri.finalize_remainder(
         evals, layer_sizes[-1] // f if layer_sizes else N, layer_coset)
     coin.reseed_with_field_elements(p, remainder)
 
     # -- 7: PoW + queries --------------------------------------------------
+    log("FRI remainder")
     nonce = coin.grind_proof_of_work(options.proof_of_work_bits)
     coin.reseed_with_int(nonce)
     indices = coin.draw_queries(options.num_queries, N)
+    log("PoW + queries")
 
     base_lde_list = [base_lde[i] for i in sorted(base_lde)]
     ext_lde_list = [ext_lde[i] for i in sorted(ext_lde)]

@@ -99,6 +99,13 @@ class EthVerifierScheme:
         return SolidityVerifierPublicCoin(seed)
 
     def commit(self, F, lde_cols):
+        if getattr(F, "IS_MONT", False):
+            # device path: the raw digit arrays are already the Montgomery
+            # representation the Keccak hash convention wants
+            from ..merkle import MaskedKeccakMerkleTree
+            return MaskedKeccakMerkleTree.from_mont_word_columns(
+                [F.to_mont_be_words(c) for c in lde_cols],
+                n_unmasked=self.H.N_UNMASKED)
         rows = _rows_from_lde_cols(F, lde_cols)
         tree = LeafVariantMerkleTree.from_rows(self.H, rows)
         return _HostTreeHandle(tree, _digest32(tree.root), _digest32)
@@ -124,6 +131,13 @@ class CairoVerifierScheme:
         return CairoVerifierPublicCoin(seed)
 
     def commit(self, F, lde_cols):
+        if getattr(F, "IS_MONT", False) and len(lde_cols) > 1:
+            from ..merkle import FriendlyMerkleTreeFast
+            from .. import native
+            if native.available():
+                return FriendlyMerkleTreeFast.from_mont_word_columns(
+                    F, [F.to_mont_be_words(c) for c in lde_cols],
+                    self.n_friendly)
         rows = _rows_from_lde_cols(F, lde_cols)
         tree = FriendlyMerkleTree.from_rows(self.n_friendly, rows)
         return _HostTreeHandle(tree, _digest32(tree.root), _digest32)

@@ -70,3 +70,14 @@ def test_tampered_proof_fails(proof_and_claim):
         % Fp252.MODULUS
     with pytest.raises(VerificationError):
         claim.verify(bad2, required_security_bits=0)
+
+
+def test_prove_verify_goldilocks():
+    """The Goldilocks plain-layout path (the reference's experimental_claims
+    Goldilocks configuration, cli/src/main.rs:103-133) proves and verifies
+    end-to-end; exercises the field-width-aware row hashing."""
+    from sandstorm_tpu.fields.goldilocks import GL
+    pub, witness = _tiny_run()
+    claim = CairoClaim(None, pub, field=GL, layout=Layout.PLAIN)
+    proof = claim.prove(witness, OPTIONS)
+    assert claim.verify(proof, required_security_bits=0)
