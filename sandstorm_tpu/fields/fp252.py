@@ -105,17 +105,26 @@ def _dmul_loose(a, b):
     contributions once the REDC round reaches it.
     """
     batch = a.shape[:-1]
+    z1 = jnp.zeros(batch + (1,), dtype=a.dtype)
     loose = jnp.zeros(batch + (2 * NDIGITS,), dtype=a.dtype)
     for j in range(NDIGITS):
-        # contrib layout: slot 0 gets lo[0]; slot k gets lo[k] + hi[k-1]
+        # contrib layout: slot 0 gets lo[0]; slot k gets lo[k] + hi[k-1].
+        # Built with concatenations and a plain add ONLY — an .at[].add
+        # static-slice update lowers to scatter-add, which both chokes
+        # XLA:CPU's compiler and crashes the TPU remote-compile helper on
+        # large fused graphs.
         prod = a * b[..., j:j + 1]
         lo = prod & MASK16
         hi = prod >> 16
-        contrib = jnp.concatenate(
-            [lo, jnp.zeros(batch + (1,), dtype=a.dtype)], axis=-1)
-        contrib = contrib.at[..., 1:].add(hi)   # [..., 17]
-        # static in-place slice update: XLA aliases the accumulator buffer
-        loose = loose.at[..., j:j + NDIGITS + 1].add(contrib)
+        contrib = (jnp.concatenate([lo, z1], axis=-1)
+                   + jnp.concatenate([z1, hi], axis=-1))  # [..., 17]
+        pad_r = 2 * NDIGITS - NDIGITS - 1 - j
+        padded = jnp.concatenate(
+            ([jnp.zeros(batch + (j,), dtype=a.dtype)] if j else [])
+            + [contrib]
+            + ([jnp.zeros(batch + (pad_r,), dtype=a.dtype)] if pad_r else []),
+            axis=-1)
+        loose = loose + padded
     return loose  # [..., 32]
 
 
@@ -127,13 +136,14 @@ def _redc(t_loose):
     multiply-adds.  Round i only needs digit i fully accumulated, which
     holds because contributions land at offsets >= +12.
 
-    The round loop is unrolled over ONE [..., 33] array with STATIC
-    in-place slice updates (XLA aliases the buffer) — keeping separate
-    per-digit planes dominated HBM at multi-million-row batches, while a
-    fori_loop with dynamic slices serialized the lanes and cost ~10x in
-    throughput.
+    The round loop is unrolled over ONE [..., 33] array; per-round
+    contributions merge via zero-padded concatenation + add, never
+    .at[].add — that static-slice update lowers to scatter-add, which
+    chokes XLA:CPU's compiler and crashes the TPU remote-compile helper
+    inside large fused graphs.
     """
     batch = t_loose.shape[:-1]
+    width = 2 * NDIGITS + 1
     t = jnp.concatenate(
         [t_loose, jnp.zeros(batch + (1,), dtype=t_loose.dtype)], axis=-1)
     c = jnp.zeros(batch + (1,), dtype=t_loose.dtype)
@@ -146,7 +156,12 @@ def _redc(t_loose):
         contrib = jnp.concatenate([
             m17 & MASK16, m17 >> 16, jnp.zeros_like(ti),
             (m << 11) & MASK16, m >> 5], axis=-1)  # [..., 5] at i+12..i+16
-        t = t.at[..., i + 12:i + 17].add(contrib)
+        pad_r = width - i - 17
+        padded = jnp.concatenate(
+            [jnp.zeros(batch + (i + 12,), dtype=t.dtype), contrib]
+            + ([jnp.zeros(batch + (pad_r,), dtype=t.dtype)] if pad_r else []),
+            axis=-1)
+        t = t + padded
     # result = t[16..33] + carry c at digit 16
     digits = [t[..., 16 + i] for i in range(17)]
     digits[0] = digits[0] + c[..., 0]

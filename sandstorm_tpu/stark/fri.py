@@ -25,42 +25,51 @@ import jax.numpy as jnp
 from ..ntt import intt, powers_host
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
-    """One FRI fold on device: [N, L] -> [N/f, L].
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fold_inner(F, E, coeffs):
+    """inner = sum_t coeffs[t] * E[t]: [f, M, L] x [f, L] -> [M, L]."""
+    acc = None
+    for t in range(E.shape[0]):
+        term = F.mul(E[t], jnp.broadcast_to(coeffs[t], E[t].shape))
+        acc = term if acc is None else F.add(acc, term)
+    return acc
 
-    coset: the layer's coset offset (python int); beta: [L] field element.
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fold_horner_step(F, res, bx, inner_j):
+    return F.add(F.mul(res, bx), inner_j)
+
+
+def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
+    """One FRI fold: [N, L] -> [N/f, L].
+
+    Split into f+f small jitted kernels (inner DFT rows + Horner steps) —
+    one fused 64-multiply graph crashes the TPU remote-compile helper at
+    the starknet layer size, and big tables are runtime args regardless.
     """
     p = F.MODULUS
     N = layer_size
     assert evals.shape[0] == N
-    w = F.root_of_unity_int(N)
-    w_inv = pow(w, -1, p)
+    w_inv = pow(F.root_of_unity_int(N), -1, p)
     mu_inv = pow(w_inv, N // f, p)  # mu^{-1}
     f_inv = pow(f, -1, p)
 
     E = evals.reshape(f, N // f, -1)  # E[t, i] = P(x_i * mu^t)
-
-    # inner[j] = (1/f) * sum_t mu^{-tj} E[t]
     inner = []
     for j in range(f):
-        acc = None
-        for t in range(f):
-            coeff = F.encode_int(pow(mu_inv, t * j, p) * f_inv % p)
-            term = F.mul(E[t], jnp.broadcast_to(coeff, E[t].shape))
-            acc = term if acc is None else F.add(acc, term)
-        inner.append(acc)
+        coeffs = jnp.stack([
+            F.encode_int(pow(mu_inv, t * j, p) * f_inv % p)
+            for t in range(f)])
+        inner.append(_fold_inner(F, E, coeffs))
 
     # bx[i] = beta / x_i  with x_i = coset * w^i
-    cinv = pow(coset, -1, p)
-    xinv = powers_host(F, w_inv, N // f)
-    bx = F.mul(F.mul(xinv, jnp.broadcast_to(F.encode_int(cinv), xinv.shape)),
-               jnp.broadcast_to(beta, xinv.shape))
+    xinv = jnp.asarray(powers_host(F, w_inv, N // f))
+    bx = F.mul(xinv, jnp.broadcast_to(
+        F.mul(beta, F.encode_int(pow(coset, -1, p))), xinv.shape))
 
-    # Horner over j: result = sum_j (beta/x)^j inner[j]
     res = inner[f - 1]
     for j in range(f - 2, -1, -1):
-        res = F.add(F.mul(res, bx), inner[j])
+        res = _fold_horner_step(F, res, bx, inner[j])
     return res
 
 

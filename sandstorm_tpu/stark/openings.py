@@ -14,15 +14,31 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..fields.scan import prefix_mul
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _outer_mul(F, hi, lo):
+    """[a, L] x [b, L] -> [a*b, L] field outer product (hi[i]*lo[j])."""
+    a, b = hi.shape[0], lo.shape[0]
+    big = F.mul(jnp.broadcast_to(hi[:, None], (a, b) + hi.shape[1:]),
+                jnp.broadcast_to(lo[None, :], (a, b) + lo.shape[1:]))
+    return big.reshape(a * b, -1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _point_powers(F, pt, n: int):
-    """[n, L] powers pt^0..pt^(n-1) via one prefix-mul scan."""
-    seq = jnp.concatenate(
-        [F.ones((1,)), jnp.broadcast_to(pt, (n - 1,) + pt.shape)], axis=0)
-    return prefix_mul(F, seq)
+def _point_powers(F, pt_int: int, n: int):
+    """[n, L] powers pt^0..pt^(n-1).
+
+    Decomposed as pt^(a*B + b) = (pt^B)^a * pt^b with two host-computed
+    sqrt(n) tables and ONE device outer-product mul — a prefix scan here
+    costs log2(n) full-length passes per opening point, which dominated
+    the whole OODS phase at starknet scale.
+    """
+    from ..ntt import powers_host
+    p = F.MODULUS
+    b = 1 << ((n.bit_length() - 1) // 2)
+    a = n // b
+    lo = powers_host(F, pt_int % p, b)                      # pt^0..pt^(b-1)
+    hi = powers_host(F, pow(pt_int, b, p), a)               # (pt^b)^0..
+    return _outer_mul(F, hi, lo)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -50,7 +66,7 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     pts = [z * pow(g, off % n, p) % p for off in offsets] + list(extra_points)
     outs = []  # device [L] values, one per (point, column)
     for pt in pts:
-        zp = _point_powers(F, F.encode_int(pt), n)
+        zp = _point_powers(F, pt, n)
         for c in cols:
             outs.append(open_one(F, coeffs_by_col[c], zp))
     vals = F.decode(jnp.stack(outs, axis=0))  # ONE host transfer

@@ -258,6 +258,57 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _deep_den_fwd(F, x, pts):
+    """Exclusive prefix products of the DEEP denominators along the
+    points axis: returns (total [B, L], pref_excl [K, B, L])."""
+    def fwd(carry, pt):
+        nxt = F.mul(carry, F.sub(x, jnp.broadcast_to(pt, x.shape)))
+        return nxt, carry          # ys[k] = prefix_{k-1} (exclusive)
+    return jax.lax.scan(fwd, F.ones(x.shape[:-1]), pts)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _deep_den_bwd(F, x, pts, pref_excl, inv_total):
+    """Backward sweep recovering every 1/(x - pts[k]): [K, B, L]."""
+    def bwd(carry, kx):
+        pk_prev, pt = kx
+        inv_k = F.mul(carry, pk_prev)
+        nxt = F.mul(carry, F.sub(x, jnp.broadcast_to(pt, x.shape)))
+        return nxt, inv_k
+    _, invs = jax.lax.scan(bwd, inv_total, (pref_excl, pts), reverse=True)
+    return invs
+
+
+def _deep_den_scans(F, x, pts):
+    """All DEEP denominator inverses for a domain chunk, with ONE
+    elementwise inversion total: Montgomery's trick along the POINTS axis.
+
+    x: [B, L] domain chunk; pts: [K, L].  Returns [K, B, L] of
+    1/(x - pts[k]).  A per-point batch inversion runs two log2(N)-stage
+    scans over the full domain PER POINT (~190 points x 44 passes at
+    starknet scale — hours of HBM traffic); this does 3 linear sweeps
+    over the K axis instead.  The three pieces are jitted separately so
+    the (already cached) batch_inv/Fermat kernel isn't re-inlined into a
+    scan graph — one fused graph sent XLA:CPU compile time unbounded.
+    """
+    total, pref_excl = _deep_den_fwd(F, x, pts)
+    inv_total = F.batch_inv(total, 0)
+    return _deep_den_bwd(F, x, pts, pref_excl, inv_total)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
+    """acc += inv_k * sum_j cv[j]*(ldes[j] - tv[j]) for one point's terms."""
+    numer = None
+    for j, lde in enumerate(ldes):
+        term = F.sub(lde, jnp.broadcast_to(tv[j], lde.shape))
+        term = F.mul(term, jnp.broadcast_to(cv[j], term.shape))
+        numer = term if numer is None else F.add(numer, term)
+    term = F.mul(numer, inv_k)
+    return term if acc is None else F.add(acc, term)
+
+
 def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
                   oods_comp_values, z, g, n, alpha_deep):
     """DEEP polynomial evaluations over the LDE domain (device).
@@ -265,41 +316,48 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     D(x) = sum_j a^j (T_j(x) - t_j)/(x - z g^{k_j})
          + sum_l a^{T+l} (C_l(x) - c_l)/(x - z^m)
 
-    Terms sharing a denominator point are grouped; points are processed one
-    at a time (sum terms, one batch inversion, accumulate) so peak memory
-    stays at a few domain-length arrays regardless of the trace-argument
-    count.
+    The domain is processed in chunks; per chunk, all ~K denominator
+    inverses come from one fused pair of K-axis scans (_deep_den_scans)
+    and each point's terms fold in with one fused dispatch.
     """
     p = F.MODULUS
     m = len(comp_lde)
+    N = next(iter(trace_lde.values())).shape[0]
     offsets = sorted({off for (_, off) in targs})
     points = [z * pow(g, off % n, p) % p for off in offsets] + [pow(z, m, p)]
+    K = len(points)
     domain = dom.domain()
 
-    # (point index, lde array, oods value, deep coefficient) per term, in
-    # transcript order for the alpha powers
-    terms = []
+    # group terms by point, in transcript order for the alpha powers
+    groups = [[] for _ in range(K)]
     coeff = 1
     for j, (col, off) in enumerate(targs):
-        terms.append((offsets.index(off), trace_lde[col],
-                      oods_trace_values[j], coeff))
+        groups[offsets.index(off)].append(
+            (trace_lde[col], oods_trace_values[j], coeff))
         coeff = coeff * alpha_deep % p
     for l, c_lde in enumerate(comp_lde):
-        terms.append((len(points) - 1, c_lde, oods_comp_values[l], coeff))
+        groups[K - 1].append((c_lde, oods_comp_values[l], coeff))
         coeff = coeff * alpha_deep % p
+    tv = [jnp.stack([F.encode_int(t) for (_, t, _) in grp])
+          for grp in groups]
+    cv = [jnp.stack([F.encode_int(c) for (_, _, c) in grp])
+          for grp in groups]
+    pts_dev = jnp.stack([F.encode_int(pt) for pt in points])
 
-    acc = None
-    for k, pt in enumerate(points):
-        numer = None
-        for (ki, lde, oods_val, cf) in terms:
-            if ki != k:
-                continue
-            t = F.encode_int(oods_val)
-            term = F.sub(lde, jnp.broadcast_to(t, lde.shape))
-            cdev = F.encode_int(cf)
-            term = F.mul(term, jnp.broadcast_to(cdev, term.shape))
-            numer = term if numer is None else F.add(numer, term)
-        den = F.sub(domain, jnp.broadcast_to(F.encode_int(pt), domain.shape))
-        term = F.mul(numer, F.batch_inv(den, 0))
-        acc = term if acc is None else F.add(acc, term)
-    return acc
+    # chunk size: keep the two [K, B, L] scan stacks ~1.5GB
+    B = N
+    while K * B * F.NLIMBS * 4 > (3 << 29):
+        B //= 2
+
+    acc_chunks = []
+    for s in range(0, N, B):
+        invs = _deep_den_scans(F, domain[s:s + B], pts_dev)  # [K, B, L]
+        acc = None
+        for k in range(K):
+            ldes = [lde[s:s + B] for (lde, _, _) in groups[k]]
+            acc = _deep_apply_point(F, acc, ldes, tv[k], cv[k], invs[k])
+        jax.block_until_ready(acc)
+        acc_chunks.append(acc)
+        del invs
+    return jnp.concatenate(acc_chunks, axis=0) if len(acc_chunks) > 1 \
+        else acc_chunks[0]
