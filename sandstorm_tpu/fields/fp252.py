@@ -312,8 +312,17 @@ class Fp252:
 
     @classmethod
     def pow_static(cls, a, e: int):
+        """a^e for a static python-int exponent.
+
+        Small exponents unroll square-and-multiply; larger ones fall back
+        to the fori_loop kernel — XLA:CPU optimization time grows
+        exponentially in the length of a chained-multiply graph, so deep
+        unrolls must never reach the compiler.
+        """
         if e == 0:
             return cls.ones(a.shape[:-1])
+        if e.bit_length() + bin(e).count("1") > 8:
+            return cls.pow_bits_loop(a, e, e.bit_length())
         result = None
         base = a
         while e > 0:

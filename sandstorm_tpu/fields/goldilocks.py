@@ -165,9 +165,17 @@ class GL:
 
     @classmethod
     def pow_static(cls, a, e: int):
-        """a^e for a static python-int exponent (unrolled square & multiply)."""
+        """a^e for a static python-int exponent.
+
+        Small exponents unroll square-and-multiply; larger ones fall back
+        to the fori_loop kernel — XLA:CPU optimization time grows
+        EXPONENTIALLY in the length of a chained-multiply graph (6 chained
+        muls ~ 6s, 7 ~ 400s+), so deep unrolls must never reach it.
+        """
         if e == 0:
             return cls.ones(a.shape[:-1])
+        if e.bit_length() + bin(e).count("1") > 6:
+            return cls.pow_bits_loop(a, e, e.bit_length())
         result = None
         base = a
         while e > 0:
