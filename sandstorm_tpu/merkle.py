@@ -13,10 +13,41 @@ later-round SHARP-compatibility feature; the config hook (`node_hash_fn`)
 is already threaded through for it.
 """
 
+import functools
+
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from .hashing.blake2s import blake2s_words, hash_rows, hash_node_pairs, blake2s_host
+
+
+@functools.lru_cache(maxsize=None)
+def _path_gather_kernel(nlevels: int):
+    """One fused gather of every level's sibling digests for a batch of
+    query indices: levels (tuple of [M_l, 8]) x [Q] -> tuple of [Q, 8].
+    A per-level eager gather costs a host round trip per level per tree."""
+    @jax.jit
+    def f(levels, idx):
+        out = []
+        cur = idx
+        for level in levels:
+            out.append(jnp.take(level, cur ^ 1, axis=0))
+            cur = cur >> 1
+        return tuple(out)
+    return f
+
+
+def _batched_paths(levels, indices):
+    """[levels, Q, 8] sibling digests -> list (per query) of 32-byte paths."""
+    if not levels:
+        return [[] for _ in indices]
+    idx = jnp.asarray(list(indices), dtype=jnp.int32)
+    sibs = _path_gather_kernel(len(levels))(tuple(levels), idx)
+    sibs = [np.asarray(jax.device_get(s)) for s in sibs]
+    return [[b"".join(int(w).to_bytes(4, "little") for w in lvl[qi])
+             for lvl in sibs]
+            for qi in range(len(indices))]
 
 
 class MerkleTree:
@@ -48,14 +79,13 @@ class MerkleTree:
 
     def prove(self, index: int):
         """Authentication path (list of 32-byte sibling digests, leaf->root)."""
-        levels = self._host()
-        path = []
-        idx = index
-        for level in levels[:-1]:
-            sib = level[idx ^ 1]
-            path.append(b"".join(int(w).to_bytes(4, "little") for w in sib))
-            idx >>= 1
-        return path
+        return self.prove_batch([index])[0]
+
+    def prove_batch(self, indices):
+        """Paths for many indices: ONE fused device gather + transfer for
+        the whole tree (pulling full levels to host moves hundreds of MB;
+        eager per-level gathers pay a round trip per level)."""
+        return _batched_paths(self._levels[:-1], indices)
 
     @staticmethod
     def verify(root: bytes, index: int, leaf_digest: bytes, path) -> bool:
@@ -212,10 +242,7 @@ class MaskedKeccakMerkleTree:
         return self._host_levels
 
     def prove(self, index: int):
-        levels = self._host()
-        path, idx = [], index
-        for level in levels[:-1]:
-            sib = level[idx ^ 1]
-            path.append(b"".join(int(w).to_bytes(4, "little") for w in sib))
-            idx >>= 1
-        return path
+        return self.prove_batch([index])[0]
+
+    def prove_batch(self, indices):
+        return _batched_paths(self._levels[:-1], indices)

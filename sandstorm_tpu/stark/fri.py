@@ -157,12 +157,24 @@ class FriProver:
 
     def open_query(self, index: int):
         """Per-layer (row values, path) openings for a query at base index."""
-        openings = []
-        idx = index
+        return self.open_queries([index])[0]
+
+    def open_queries(self, indices):
+        """Batched per-layer openings for all queries: per layer, one row
+        gather + one transfer + one batched path extraction."""
+        import numpy as np
+        F = self.F
+        cur = np.asarray(list(indices), dtype=np.int64)
+        out = [[] for _ in cur]
         for tree, rows, layer_size, coset in self.layers:
             half = layer_size // self.options.fri_folding_factor
-            i = idx % half
-            row_vals = self.F.decode_ints(rows[i])
-            openings.append((row_vals, tree.prove(i)))
-            idx = i
-        return openings
+            i = cur % half
+            got = jax.device_get(jnp.take(rows, jnp.asarray(i), axis=0))
+            if hasattr(tree, "prove_batch"):
+                tpaths = tree.prove_batch([int(v) for v in i])
+            else:
+                tpaths = [tree.prove(int(v)) for v in i]
+            for q in range(len(cur)):
+                out[q].append((F.decode_ints(got[q]), tpaths[q]))
+            cur = i
+        return out

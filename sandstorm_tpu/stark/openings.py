@@ -52,6 +52,26 @@ def open_one(F, coeffs, zp):
     return a[0]
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _open_all_at_point(F, cols, hi, lo):
+    """All columns at one point, fused into a single dispatch: the powers
+    table (outer product of two sqrt(n) tables) plus every column's dot
+    product: tuple of [n, L] -> [C, L]."""
+    a, b = hi.shape[0], lo.shape[0]
+    zp = F.mul(jnp.broadcast_to(hi[:, None], (a, b) + hi.shape[1:]),
+               jnp.broadcast_to(lo[None, :], (a, b) + lo.shape[1:]))
+    zp = zp.reshape(a * b, -1)
+    outs = []
+    for c in cols:
+        x = F.mul(c, zp)
+        m = x.shape[0]
+        while m > 1:
+            x = F.add(x[0::2], x[1::2])
+            m = x.shape[0]
+        outs.append(x[0])
+    return jnp.stack(outs, axis=0)
+
+
 def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     """Open the committed columns at z*g^off for every distinct offset in
     targs (plus extra points).
@@ -59,21 +79,29 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     coeffs_by_col: dict col -> [n, L] device coefficient arrays
     targs: iterable of (col, offset)
     Returns (values dict {(col, off): int}, extra list of {col: int}).
+
+    One fused dispatch per point — through a tunneled TPU, per-(point,
+    column) dispatch latency dominated the whole OODS phase.
     """
+    from ..ntt import powers_host
     p = F.MODULUS
     cols = sorted(coeffs_by_col)
+    col_arrays = tuple(coeffs_by_col[c] for c in cols)
     offsets = sorted({off for (_, off) in targs})
     pts = [z * pow(g, off % n, p) % p for off in offsets] + list(extra_points)
-    outs = []  # device [L] values, one per (point, column)
+    b = 1 << ((n.bit_length() - 1) // 2)
+    a = n // b
+    outs = []
     for pt in pts:
-        zp = _point_powers(F, pt, n)
-        for c in cols:
-            outs.append(open_one(F, coeffs_by_col[c], zp))
-    vals = F.decode(jnp.stack(outs, axis=0))  # ONE host transfer
-    it = iter(int(v) for v in vals)
+        lo = powers_host(F, pt % p, b)
+        hi = powers_host(F, pow(pt, b, p), a)
+        outs.append(_open_all_at_point(F, col_arrays, hi, lo))
+    vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
     values = {}
-    for off in offsets:
-        for c in cols:
-            values[(c, off)] = next(it)
-    extra = [{c: next(it) for c in cols} for _ in extra_points]
+    for k, off in enumerate(offsets):
+        for ci, c in enumerate(cols):
+            values[(c, off)] = int(vals[k][ci])
+    extra = [{c: int(vals[len(offsets) + j][ci])
+              for ci, c in enumerate(cols)}
+             for j in range(len(extra_points))]
     return values, extra

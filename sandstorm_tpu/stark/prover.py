@@ -230,21 +230,37 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     indices = coin.draw_queries(options.num_queries, N)
     log("PoW + queries")
 
-    base_lde_list = [base_lde[i] for i in sorted(base_lde)]
-    ext_lde_list = [ext_lde[i] for i in sorted(ext_lde)]
+    # batched query assembly: one gather+transfer per column / tree level
+    # (the eager per-item version spent ~45s in host round trips)
+    idx_dev = jnp.asarray(indices)
+
+    def read_rows(cols):
+        vals = [F.decode(jnp.take(c, idx_dev, axis=0)) for c in cols]
+        return [[int(v[q]) for v in vals] for q in range(len(indices))]
+
+    base_rows = read_rows([base_lde[i] for i in sorted(base_lde)])
+    ext_rows = read_rows([ext_lde[i] for i in sorted(ext_lde)])
+    comp_rows = read_rows(comp_lde)
+
+    def paths(tree):
+        if hasattr(tree, "prove_batch"):
+            return tree.prove_batch(indices)
+        return [tree.prove(i) for i in indices]
+
+    base_paths, ext_paths, comp_paths = \
+        paths(base_tree), paths(ext_tree), paths(comp_tree)
+    fri_all = fri.open_queries(indices)
+    log("query assembly")
+
     openings = []
-    for idx in indices:
-        base_row = [int(F.decode(c[idx])) for c in base_lde_list]
-        ext_row = [int(F.decode(c[idx])) for c in ext_lde_list]
-        comp_row = [int(F.decode(c[idx])) for c in comp_lde]
-        fri_openings = fri.open_query(idx)
+    for q, idx in enumerate(indices):
         openings.append(QueryOpening(
-            base_row=base_row, ext_row=ext_row, comp_row=comp_row,
-            base_path=base_tree.prove(idx),
-            ext_path=ext_tree.prove(idx),
-            comp_path=comp_tree.prove(idx),
-            fri_rows=[r for r, _ in fri_openings],
-            fri_paths=[pth for _, pth in fri_openings],
+            base_row=base_rows[q], ext_row=ext_rows[q], comp_row=comp_rows[q],
+            base_path=base_paths[q],
+            ext_path=ext_paths[q],
+            comp_path=comp_paths[q],
+            fri_rows=[r for r, _ in fri_all[q]],
+            fri_paths=[pth for _, pth in fri_all[q]],
         ))
 
     return Proof(
