@@ -91,8 +91,15 @@ class _VerifierCoin:
         h = self.HASH(self._pow_prefix(bits) + int(nonce).to_bytes(8, "big"))
         return _leading_zero_bits(h) >= bits
 
+    GRIND_HASH = None  # "keccak" | "blake2s" -> device batch grinding
+
     def grind_proof_of_work(self, bits: int) -> int:
         prefix = self._pow_prefix(bits)
+        if self.GRIND_HASH is not None and bits <= 32:
+            from .grind import grind
+            nonce = grind(self.GRIND_HASH, prefix, bits)
+            assert self.verify_proof_of_work(nonce, bits)
+            return nonce
         nonce = 1
         while True:
             h = self.HASH(prefix + nonce.to_bytes(8, "big"))
@@ -109,6 +116,7 @@ class SolidityVerifierPublicCoin(_VerifierCoin):
     (crypto/src/public_coin/solidity.rs)."""
 
     HASH = staticmethod(keccak256)
+    GRIND_HASH = "keccak"
 
     def reseed_with_field_elements(self, modulus, elements):
         # one reseed per element, Montgomery form (solidity.rs:66-71)
@@ -121,6 +129,7 @@ class CairoVerifierPublicCoin(_VerifierCoin):
     (crypto/src/public_coin/cairo.rs)."""
 
     HASH = staticmethod(blake2s256)
+    GRIND_HASH = "blake2s"
 
     def reseed_with_field_elements(self, modulus, elements):
         # Pedersen chain hash of the element list (cairo.rs:76-80)

@@ -37,6 +37,21 @@ assert P_DIGITS[0] == 1 and P_DIGITS[12] == 17 and P_DIGITS[15] == 0x0800
 assert all(d == 0 for i, d in enumerate(P_DIGITS) if i not in (0, 12, 15))
 
 
+def _use_pallas() -> bool:
+    """True when the Pallas montmul kernel should carry multiplies.
+
+    TPU only: the kernel is ~85x the XLA digit-minor path there
+    (fp252_pallas.py); on CPU backends Pallas would need interpret mode,
+    which is far slower than the XLA path.  Overridable for tests.
+    """
+    import os
+    ov = os.environ.get("SANDSTORM_TPU_PALLAS")
+    if ov is not None:
+        return ov == "1"
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def _unstack(a):
     """[..., 16] array -> list of 16 [...] digit arrays."""
     return [a[..., i] for i in range(a.shape[-1])]
@@ -285,6 +300,9 @@ class Fp252:
 
     @classmethod
     def _montmul(cls, a, b):
+        if _use_pallas():
+            from .fp252_pallas import montmul_rows
+            return montmul_rows(a, b)
         return _stack(_redc(_dmul_loose(a, b)))
 
     @classmethod

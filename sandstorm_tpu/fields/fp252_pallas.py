@@ -1,0 +1,136 @@
+"""Pallas TPU kernel for batched Fp252 Montgomery multiplication.
+
+The plain-XLA montmul (fp252.py:_dmul_loose/_redc) operates on [n, 16]
+digit-minor arrays: the 16-wide minor dimension occupies 16 of the VPU's
+128 lanes, wasting ~8x of both compute and HBM bandwidth, and the loose
+convolution materializes [n, 32] temporaries across ~16 fused passes.
+
+This kernel flips the tile layout to digit-MAJOR ([16, T] blocks: digits
+in sublanes, elements in lanes) so every vector op uses all 128 lanes, and
+keeps the entire multiply -- 16x16 digit convolution, sparse-prime REDC,
+carry propagation, conditional subtract -- in VMEM registers.  One HBM
+read per operand, one write for the result; everything else is VPU work.
+
+The digit arithmetic is identical to fp252.py (16-bit digits, Montgomery
+R = 2^256, sparse REDC exploiting p's three nonzero base-2^16 digits);
+correctness is cross-checked against the XLA path in tests/test_fields.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import numpy as np
+
+M16 = np.uint32(0xFFFF)
+
+NDIGITS = 16
+P = (1 << 251) + 17 * (1 << 192) + 1
+# default element tile (lanes): 8 sublane-groups of 128 lanes
+TILE = 1024
+
+
+def _montmul_tile(a, b):
+    """Digit-major montgomery multiply on [16, T] u32 register arrays.
+
+    a, b: lists of 16 [1, T] digit vectors. Returns list of 16 [1, T].
+    Same arithmetic as fp252._dmul_loose + _redc, but with per-digit
+    registers instead of padded-concat array surgery.
+    """
+    T = a[0].shape[-1]
+    zero = jnp.zeros_like(a[0])
+
+    # -- 16x16 digit convolution -> 32 loose digits (< 2^21) --------------
+    loose = [zero] * (2 * NDIGITS)
+    for j in range(NDIGITS):
+        bj = b[j]
+        for i in range(NDIGITS):
+            prod = a[i] * bj
+            loose[i + j] = loose[i + j] + (prod & M16)
+            loose[i + j + 1] = loose[i + j + 1] + (prod >> 16)
+
+    # -- Montgomery REDC (sparse prime: digits 1@0, 17@12, 0x800@15) ------
+    t = loose + [zero]  # 33 digits
+    c = zero
+    for i in range(NDIGITS):
+        ti = t[i] + c
+        m = (zero - ti) & M16  # (-t_i) mod 2^16
+        c = (ti + m) >> 16
+        m17 = m * np.uint32(17)
+        t[i + 12] = t[i + 12] + (m17 & M16)
+        t[i + 13] = t[i + 13] + (m17 >> 16)
+        t[i + 15] = t[i + 15] + ((m << 11) & M16)
+        t[i + 16] = t[i + 16] + (m >> 5)
+
+    # -- carry propagate digits 16..32 (+ c at digit 16) ------------------
+    digits = [t[16 + k] for k in range(17)]
+    digits[0] = digits[0] + c
+    res = []
+    carry = zero
+    for k in range(17):
+        v = digits[k] + carry
+        res.append(v & M16)
+        carry = v >> 16
+    # result < 2p < 2^253 => res[16] == 0 after propagation
+
+    # -- conditional subtract p -------------------------------------------
+    P_DIGITS = [(P >> (16 * k)) & 0xFFFF for k in range(NDIGITS)]
+    diff = []
+    borrow = zero
+    for k in range(NDIGITS):
+        v = res[k] - np.uint32(P_DIGITS[k]) - borrow
+        diff.append(v & M16)
+        borrow = v >> 31
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, r, d) for r, d in zip(res[:NDIGITS], diff)]
+
+
+def _montmul_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i:i + 1, :] for i in range(NDIGITS)]
+    b = [b_ref[i:i + 1, :] for i in range(NDIGITS)]
+    out = _montmul_tile(a, b)
+    o_ref[:, :] = jnp.concatenate(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def montmul_digitmajor(a, b, tile: int = TILE):
+    """Montgomery product of digit-major [16, n] u32 arrays (n % tile == 0)."""
+    n = a.shape[1]
+    grid = (n // tile,)
+    spec = pl.BlockSpec((NDIGITS, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _montmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((NDIGITS, n), a.dtype),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+    )(a, b)
+
+
+def _pad_to(n, m):
+    return -(-n // m) * m
+
+
+@jax.jit
+def montmul_rows(a, b):
+    """Drop-in montmul for [..., 16] digit-minor arrays via one transpose
+    each way.  Falls back to tiles of 128 lanes for small batches."""
+    shape = a.shape
+    a2 = a.reshape(-1, NDIGITS)
+    b2 = jnp.broadcast_to(b, shape).reshape(-1, NDIGITS)
+    n = a2.shape[0]
+    tile = TILE if n % TILE == 0 else 128
+    npad = _pad_to(n, tile)
+    if npad != n:
+        pad = ((0, npad - n), (0, 0))
+        a2 = jnp.pad(a2, pad)
+        b2 = jnp.pad(b2, pad)
+    at = a2.T  # [16, npad]
+    bt = b2.T
+    ot = montmul_digitmajor(at, bt, tile=tile)
+    out = ot.T[:n]
+    return out.reshape(shape)
