@@ -76,8 +76,14 @@ def _montmul_tile(a, b):
         carry = v >> 16
     # result < 2p < 2^253 => res[16] == 0 after propagation
 
-    # -- conditional subtract p -------------------------------------------
-    P_DIGITS = [(P >> (16 * k)) & 0xFFFF for k in range(NDIGITS)]
+    return _cond_sub_p_tile(res[:NDIGITS], zero)
+
+
+P_DIGITS = [(P >> (16 * k)) & 0xFFFF for k in range(NDIGITS)]
+
+
+def _cond_sub_p_tile(res, zero):
+    """digits (< 2^16, value < 2p) -> value mod p, digit-register lists."""
     diff = []
     borrow = zero
     for k in range(NDIGITS):
@@ -85,7 +91,20 @@ def _montmul_tile(a, b):
         diff.append(v & M16)
         borrow = v >> 31
     keep = borrow.astype(jnp.bool_)
-    return [jnp.where(keep, r, d) for r, d in zip(res[:NDIGITS], diff)]
+    return [jnp.where(keep, r, d) for r, d in zip(res, diff)]
+
+
+def _field_add_tile(a, b):
+    """Field add of two digit-register lists (both < p)."""
+    zero = jnp.zeros_like(a[0])
+    out = []
+    carry = zero
+    for k in range(NDIGITS):
+        v = a[k] + b[k] + carry
+        out.append(v & M16)
+        carry = v >> 16
+    # a + b < 2p < 2^253: no carry out of digit 15
+    return _cond_sub_p_tile(out, zero)
 
 
 def _montmul_kernel(a_ref, b_ref, o_ref):
@@ -134,3 +153,91 @@ def montmul_rows(a, b):
     ot = montmul_digitmajor(at, bt, tile=tile)
     out = ot.T[:n]
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-point multi-column polynomial opening (the OODS hot kernel)
+# ---------------------------------------------------------------------------
+
+def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
+    """Grid step i covers element tile [i*T, (i+1)*T).
+
+    cols_ref: [C, 16, T] coefficient tile (digit-major)
+    lo_ref:   [K, 16, T] per-point low powers (pt^0..pt^(T-1)), full block
+    hi_ref:   [K, 16, A] per-point high powers ((pt^T)^0..), full block;
+              step i's value is extracted with a masked lane reduction
+              (single-lane vector loads need 128-aligned lane indices on
+              TPU, so dynamic lane extraction is expressed as
+              sum(where(lane == i, hi, 0)))
+    out_ref:  [K, C, 16, 128] running partial sums, same block every step
+
+    For tile i the needed powers are pt^(i*T + j) = hi[i] * lo[j], so each
+    point costs ONE broadcast montmul per tile and the coefficient data is
+    read from HBM exactly once for ALL K points.  Partial sums stay as
+    [16, 128] field elements reduced in-register; the final 128->1
+    reduction happens outside (it is tiny).
+    """
+    i = pl.program_id(0)
+    C = cols_ref.shape[0]
+    K = lo_ref.shape[0]
+    T = cols_ref.shape[2]
+    A = hi_ref.shape[2]
+    lane_is_i = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1) == i
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def point_body(k, _):
+        hi_k = [jnp.sum(jnp.where(lane_is_i, hi_ref[k, d:d + 1, :], 0),
+                        axis=1, keepdims=True)
+                for d in range(NDIGITS)]
+        lo_k = [lo_ref[k, d:d + 1, :] for d in range(NDIGITS)]
+        zp = _montmul_tile([jnp.broadcast_to(h, (1, T)) for h in hi_k], lo_k)
+
+        def col_body(c, _):
+            col = [cols_ref[c, d:d + 1, :] for d in range(NDIGITS)]
+            prod = _montmul_tile(col, zp)
+            # reduce [1, T] -> [1, 128] by field-adding 128-lane chunks
+            parts = T // 128
+            red = [prod[d][:, :128] for d in range(NDIGITS)]
+            for j in range(1, parts):
+                red = _field_add_tile(
+                    red, [prod[d][:, j * 128:(j + 1) * 128]
+                          for d in range(NDIGITS)])
+            acc = [out_ref[k, c, d:d + 1, :] for d in range(NDIGITS)]
+            new = _field_add_tile(acc, red)
+            out_ref[k, c] = jnp.concatenate(new, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, C, col_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, K, point_body, 0)
+
+
+@jax.jit
+def open_partials(cols_dm, lo_dm, hi_dm):
+    """cols [C, 16, n], lo [K, 16, T], hi [K, 16, n//T] (Montgomery,
+    digit-major) -> [K, C, 16, 128] partial field sums of
+    sum_i cols[c, :, i] * (hi[k, :, i//T] * lo[k, :, i%T])."""
+    C, _, n = cols_dm.shape
+    K, _, T = lo_dm.shape
+    A = n // T
+    assert hi_dm.shape == (K, NDIGITS, A)
+    grid = (A,)
+    return pl.pallas_call(
+        _open_kernel,
+        out_shape=jax.ShapeDtypeStruct((K, C, NDIGITS, 128), cols_dm.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((C, NDIGITS, T), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NDIGITS, T), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NDIGITS, A), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, C, NDIGITS, 128), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(cols_dm, lo_dm, hi_dm)

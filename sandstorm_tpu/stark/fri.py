@@ -169,12 +169,15 @@ class FriProver:
         for tree, rows, layer_size, coset in self.layers:
             half = layer_size // self.options.fri_folding_factor
             i = cur % half
-            got = jax.device_get(jnp.take(rows, jnp.asarray(i), axis=0))
+            # ONE decode dispatch + transfer for the whole [Q, f, L] batch —
+            # a per-(query, layer) decode_ints paid a device round trip each
+            # (65 x 4 dispatches ~ 10s through the tunnel)
+            vals = F.decode(jnp.take(rows, jnp.asarray(i), axis=0))  # [Q, f]
             if hasattr(tree, "prove_batch"):
                 tpaths = tree.prove_batch([int(v) for v in i])
             else:
                 tpaths = [tree.prove(int(v)) for v in i]
             for q in range(len(cur)):
-                out[q].append((F.decode_ints(got[q]), tpaths[q]))
+                out[q].append(([int(v) for v in vals[q]], tpaths[q]))
             cur = i
         return out

@@ -72,6 +72,36 @@ def _open_all_at_point(F, cols, hi, lo):
     return jnp.stack(outs, axis=0)
 
 
+def _open_all_pallas(F, col_arrays, pts, n):
+    """All columns x all points via the fused Pallas opener: one device
+    pass over the coefficient data per ~24 points (fields/fp252_pallas.py
+    open_partials), instead of a mul + log2(n) halving-add passes per
+    (point, column) — the XLA formulation re-streamed every array from HBM
+    at each of the 18 reduction levels and dominated the OODS phase."""
+    from ..fields import fp252_pallas as fpp
+    from ..ntt import powers_host
+    p = F.MODULUS
+    T = 512
+    A = n // T
+    cols = jnp.stack([c.T for c in col_arrays])  # [C, 16, n]
+    out_chunks = []
+    CHUNK = 24
+    for s in range(0, len(pts), CHUNK):
+        chunk = pts[s:s + CHUNK]
+        lo = jnp.stack([jnp.asarray(powers_host(F, pt % p, T)).T
+                        for pt in chunk])
+        hi = jnp.stack([jnp.asarray(powers_host(F, pow(pt, T, p), A)).T
+                        for pt in chunk])
+        partials = fpp.open_partials(cols, lo, hi)  # [K, C, 16, 128]
+        x = jnp.transpose(partials, (0, 1, 3, 2))   # [K, C, 128, 16]
+        m = 128
+        while m > 1:
+            x = F.add(x[:, :, 0::2], x[:, :, 1::2])
+            m //= 2
+        out_chunks.append(x[:, :, 0])
+    return F.decode(jnp.concatenate(out_chunks, axis=0))  # [K, C] ints
+
+
 def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     """Open the committed columns at z*g^off for every distinct offset in
     targs (plus extra points).
@@ -89,14 +119,19 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     col_arrays = tuple(coeffs_by_col[c] for c in cols)
     offsets = sorted({off for (_, off) in targs})
     pts = [z * pow(g, off % n, p) % p for off in offsets] + list(extra_points)
-    b = 1 << ((n.bit_length() - 1) // 2)
-    a = n // b
-    outs = []
-    for pt in pts:
-        lo = powers_host(F, pt % p, b)
-        hi = powers_host(F, pow(pt, b, p), a)
-        outs.append(_open_all_at_point(F, col_arrays, hi, lo))
-    vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
+    from ..fields.fp252 import _use_pallas
+    if _use_pallas() and n % 512 == 0 and n >= 4096 \
+            and getattr(F, "NAME", "") == "fp252":
+        vals = _open_all_pallas(F, col_arrays, pts, n)
+    else:
+        b = 1 << ((n.bit_length() - 1) // 2)
+        a = n // b
+        outs = []
+        for pt in pts:
+            lo = powers_host(F, pt % p, b)
+            hi = powers_host(F, pow(pt, b, p), a)
+            outs.append(_open_all_at_point(F, col_arrays, hi, lo))
+        vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
     values = {}
     for k, off in enumerate(offsets):
         for ci, c in enumerate(cols):
