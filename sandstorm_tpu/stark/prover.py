@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..air.expr import LdeContext, evaluate_lde, trace_arguments
 from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
 from .openings import open_columns
-from .fri import FriProver
+from .fri import FriProver, bitrev_perm, bitrev_int
 from .options import ProofOptions
 from .proof import Proof, QueryOpening
 from .scheme import get_scheme
@@ -108,13 +108,21 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     coin = scheme.make_coin(pub, options, n)
     log = _phase_logger()
 
+    # trees commit rows in the reference's bit-reversed position order:
+    # leaf q holds the row at natural LDE index bitrev(q) (PARITY.md)
+    brev = jnp.asarray(bitrev_perm(N))
+
+    def commit_bitrev(lde_cols):
+        return scheme.commit(F, [jnp.take(c, brev, axis=0)
+                                 for c in lde_cols])
+
     # -- 1/2: base trace commit -------------------------------------------
     base_cols = trace.base_columns()
     base_coeffs, base_lde = {}, {}
     for i, col in base_cols.items():
         base_coeffs[i], base_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
     log("base columns interpolated + extended")
-    base_tree = scheme.commit(F, [base_lde[i] for i in sorted(base_lde)])
+    base_tree = commit_bitrev([base_lde[i] for i in sorted(base_lde)])
     coin.reseed_with_digest(base_tree.root)
     log("base commit")
 
@@ -124,7 +132,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     ext_coeffs, ext_lde = {}, {}
     for i, col in ext_cols.items():
         ext_coeffs[i], ext_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
-    ext_tree = scheme.commit(F, [ext_lde[i] for i in sorted(ext_lde)])
+    ext_tree = commit_bitrev([ext_lde[i] for i in sorted(ext_lde)])
     coin.reseed_with_digest(ext_tree.root)
     # the committed LDEs + coefficient arrays supersede the raw trace
     # columns; free them (at starknet scale they hold >1GB of HBM)
@@ -172,7 +180,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     del comp_coeffs_all
     comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
                 for cc in comp_col_coeffs]
-    comp_tree = scheme.commit(F, comp_lde)
+    comp_tree = commit_bitrev(comp_lde)
     coin.reseed_with_digest(comp_tree.root)
     log("composition commit")
 
@@ -231,8 +239,11 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     log("PoW + queries")
 
     # batched query assembly: one gather+transfer per column / tree level
-    # (the eager per-item version spent ~45s in host round trips)
-    idx_dev = jnp.asarray(indices)
+    # (the eager per-item version spent ~45s in host round trips).
+    # drawn indices are stored (bit-reversed) positions; the LDE arrays
+    # are natural-order, so gather at bitrev(idx)
+    kN = N.bit_length() - 1
+    idx_dev = jnp.asarray([bitrev_int(q, kN) for q in indices])
 
     def read_rows(cols):
         vals = [F.decode(jnp.take(c, idx_dev, axis=0)) for c in cols]

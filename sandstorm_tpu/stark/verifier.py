@@ -7,7 +7,7 @@ and walks the FRI layers down to the remainder polynomial.
 """
 
 from ..air.expr import IntContext, evaluate_int, trace_arguments
-from .fri import fri_fold_host
+from .fri import fri_fold_host, bitrev_int
 from .scheme import get_scheme
 
 
@@ -112,7 +112,9 @@ def verify(F, air_config, public_input, proof,
             _check(scheme.verify_row(F, root, idx, vals, path),
                    f"{label} Merkle path failed at query {idx}")
 
-        x = coset * pow(w_N, idx, p) % p
+        # drawn indices are stored (bit-reversed) positions: the Merkle
+        # leaf index is idx itself, the field point is at bitrev(idx)
+        x = coset * pow(w_N, bitrev_int(idx, N.bit_length() - 1), p) % p
 
         def col_val(col):
             return (opening.base_row[col] if col < num_base
@@ -133,30 +135,40 @@ def verify(F, air_config, public_input, proof,
                         * pow(x - z_m, p - 2, p)) % p
             coeff = coeff * alpha_deep % p
 
-        # -- FRI walk ------------------------------------------------------
+        # -- FRI walk (stored-index space: leaf = q // f, slot = q % f) ----
+        _check(len(opening.fri_rows) == len(layer_sizes)
+               and len(opening.fri_paths) == len(layer_sizes),
+               f"wrong FRI opening count at query {idx}")
+        logf = f.bit_length() - 1
         cur_val = deep_val
         cur_idx = idx
         layer_coset = coset
         for li, layer_size in enumerate(layer_sizes):
             half = layer_size // f
-            i = cur_idx % half
-            t_pos = cur_idx // half
+            b = cur_idx // f
+            t_pos = cur_idx % f
             row = opening.fri_rows[li]
             _check(len(row) == f, "FRI row width")
-            _check(scheme.verify_row(F, proof.fri_roots[li], i, row,
+            _check(scheme.verify_row(F, proof.fri_roots[li], b, row,
                                      opening.fri_paths[li]),
                    f"FRI layer {li} Merkle path failed")
             _check(row[t_pos] == cur_val,
                    f"FRI layer {li} value mismatch at query {idx}")
+            # un-permute the row to natural within-coset order (stored slot
+            # t holds the mu^bitrev(t) coset member) and fold at natural
+            # coset index bitrev(b)
+            row_nat = [row[bitrev_int(t, logf)] for t in range(f)]
+            i_nat = bitrev_int(b, half.bit_length() - 1)
             w_l = F.root_of_unity_int(layer_size)
-            cur_val = fri_fold_host(p, row, i, layer_size, layer_coset,
-                                    w_l, f, fri_betas[li])
-            cur_idx = i
+            cur_val = fri_fold_host(p, row_nat, i_nat, layer_size,
+                                    layer_coset, w_l, f, fri_betas[li])
+            cur_idx = b
             layer_coset = pow(layer_coset, f, p)
 
-        # remainder check
+        # remainder check: R is over the offset-free domain (PARITY.md)
         last_size = layer_sizes[-1] // f if layer_sizes else N
-        y = layer_coset * pow(F.root_of_unity_int(last_size), cur_idx, p) % p
+        y = pow(F.root_of_unity_int(last_size),
+                bitrev_int(cur_idx, last_size.bit_length() - 1), p)
         rem_val = 0
         for c in reversed(proof.fri_remainder):
             rem_val = (rem_val * y + c) % p
