@@ -23,7 +23,7 @@ from .examples import load_artifacts
 from .fields.fp252 import Fp252
 from .fields.goldilocks import GL
 from .stark.options import ProofOptions
-from .stark.proof import Proof
+from .stark.ark import parse_proof, serialize_proof
 
 
 def _field_for_prime(prime: int):
@@ -81,7 +81,7 @@ def main(argv=None):
         now = time.time()
         proof = claim.prove(witness, options)
         t = time.time() - now
-        blob = proof.to_bytes()
+        blob = serialize_proof(proof)
         with open(args.output, "wb") as f:
             f.write(blob)
         print(f"proof generated in {t:.1f}s")
@@ -99,7 +99,7 @@ def main(argv=None):
         claim = CairoClaim(program, pub, field=F, layout=layout,
                            scheme=args.scheme)
         with open(args.proof, "rb") as f:
-            proof = Proof.from_bytes(f.read())
+            proof = parse_proof(f.read())
         now = time.time()
         claim.verify(proof, args.required_security_bits)
         print(f"proof verified in {time.time() - now:.2f}s")

@@ -38,6 +38,9 @@ class PublicCoin:
         data = b"".join(int(e).to_bytes(32, "big") for e in elements)
         self.reseed_with_digest(_blake(data))
 
+    # the generic coin absorbs a felt vector in one reseed either way
+    reseed_with_field_element_vector = reseed_with_field_elements
+
     def reseed_with_int(self, value: int):
         self.reseed_with_digest(int(value).to_bytes(8, "big"))
 

@@ -136,6 +136,10 @@ class CairoVerifierPublicCoin(_VerifierCoin):
         h = PedersenHashFn.hash_elements(int(e) for e in elements)
         self.reseed_with_bytes(int(h).to_bytes(32, "big"))
 
+    # the cairo verifier's canonical felt-vector absorption IS the
+    # pedersen chain reseed
+    reseed_with_field_element_vector = reseed_with_field_elements
+
     def draw_queries(self, num_queries: int, domain_size: int):
         # the cairo verifier samples query batches of 4 (cairo.rs:124-130)
         batched = -(-num_queries // 4) * 4

@@ -1,9 +1,11 @@
+from .ark import ArkProof, ArkQueries, FriLayer, MerkleView, \
+    parse_proof, serialize_proof
 from .options import ProofOptions
-from .proof import Proof, QueryOpening
 from .prover import prove
 from .verifier import verify, VerificationError
 
 __all__ = [
-    "ProofOptions", "Proof", "QueryOpening", "prove", "verify",
+    "ProofOptions", "ArkProof", "ArkQueries", "FriLayer", "MerkleView",
+    "parse_proof", "serialize_proof", "prove", "verify",
     "VerificationError",
 ]

@@ -192,6 +192,36 @@ class FriProver:
         """Per-layer (row values, path) openings for a query at base index."""
         return self.open_queries([index])[0]
 
+    def open_ark(self, indices):
+        """Per-layer deduped leaf openings in the ark wire form
+        (miniSTARK FriProof layers: values + MerkleViews per sorted unique
+        folded leaf — crypto/src/merkle/mod.rs:86-166's sharing, realized
+        as leaf-level dedup exactly like the reference's checked-in
+        proofs).  Returns [(values, views)] per layer."""
+        from .ark import MerkleView
+        F = self.F
+        f = self.options.fri_folding_factor
+        cur = sorted({int(i) for i in indices})
+        out = []
+        for tree, rows, layer_size, coset in self.layers:
+            leaves = sorted({i // f for i in cur})
+            vals = F.decode(jnp.take(rows, jnp.asarray(leaves), axis=0))
+            if hasattr(tree, "prove_batch"):
+                paths = tree.prove_batch(leaves)
+            else:
+                paths = [tree.prove(b) for b in leaves]
+            values, views = [], []
+            for bi in range(len(leaves)):
+                row = [int(v) for v in vals[bi]]
+                values.extend(row)
+                views.append(MerkleView(
+                    hashed=True, nodes=list(paths[bi][1:]),
+                    initial_leaf=paths[bi][0],
+                    sibling_leaf=self.scheme.hash_row(F, row)))
+            out.append((values, views))
+            cur = leaves
+        return out
+
     def open_queries(self, indices):
         """Batched per-layer openings for all queries (stored indices: a
         query at stored index q sits in leaf q // f and collapses to stored

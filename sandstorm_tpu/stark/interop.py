@@ -39,36 +39,32 @@ from .options import ProofOptions
 from .verifier import VerificationError, _check
 
 
-def _verify_merkle_view(H, root: bytes, num_leaves: int, index: int,
+def _as32(leaf) -> bytes:
+    return leaf if isinstance(leaf, bytes) else int(leaf).to_bytes(32, "big")
+
+
+def _verify_merkle_view(scheme, F, root: bytes, num_leaves: int, index: int,
                         view: MerkleView, row, label: str):
     """Check one MerkleView against a root.
 
     ministark's serialization stores the *sibling* leaf as `initial_leaf`
     and the queried row's own digest as `sibling_leaf` (field order of the
     struct, recovered byte-level); `nodes` are the sibling digests above
-    the leaf pair, leaf-to-root.
+    the leaf pair, leaf-to-root.  The full sibling path is therefore
+    [initial_leaf] + nodes, which the scheme's row verifier consumes.
     """
-    if view.hashed:
-        leaf = H.hash_elements(row)
-        _check(view.sibling_leaf == leaf,
-               f"{label}: leaf does not match row hash")
-        cur = leaf
-        sib = view.initial_leaf
-    else:
-        _check(len(row) == 1 and view.sibling_leaf == row[0],
-               f"{label}: unhashed leaf does not match value")
-        cur = int(view.sibling_leaf).to_bytes(32, "big")
-        sib = int(view.initial_leaf).to_bytes(32, "big")
     height = num_leaves.bit_length() - 1
     _check(len(view.nodes) == max(height - 1, 0),
            f"{label}: path length {len(view.nodes)} != {height - 1}")
-    i = index
-    cur = H.merge(cur, sib) if i % 2 == 0 else H.merge(sib, cur)
-    i //= 2
-    for node in view.nodes:
-        cur = H.merge(cur, node) if i % 2 == 0 else H.merge(node, cur)
-        i //= 2
-    _check(cur == root, f"{label}: root mismatch")
+    if view.hashed:
+        _check(_as32(view.sibling_leaf) == scheme.hash_row(F, row),
+               f"{label}: leaf does not match row hash")
+    else:
+        _check(len(row) == 1 and view.sibling_leaf == row[0],
+               f"{label}: unhashed leaf does not match value")
+    path = [_as32(view.initial_leaf)] + [_as32(nd) for nd in view.nodes]
+    _check(scheme.verify_row(F, root, index, list(row), path),
+           f"{label}: root mismatch")
 
 
 def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
@@ -93,7 +89,6 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     g = F.root_of_unity_int(n)
     w_N = F.root_of_unity_int(N)
     m = air_config.CE_BLOWUP_FACTOR
-    H = scheme.H  # element hash (row hashing + node merging)
 
     # -- transcript ----------------------------------------------------------
     if transcript is None:
@@ -166,6 +161,9 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     _check(len(qs.comp_values) == Q * m, "composition values length")
     _check(len(qs.base_proofs) == Q and len(qs.comp_proofs) == Q,
            "trace proof count")
+    _check(num_ext == 0 or len(qs.ext_proofs) == Q, "ext proof count")
+    _check(num_ext == 0 or proof.ext_commitment is not None,
+           "missing extension trace commitment")
 
     def rows_of(vals, width):
         return [vals[i * width:(i + 1) * width] for i in range(Q)]
@@ -174,13 +172,15 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     ext_rows = rows_of(qs.ext_values, num_ext)
     comp_rows = rows_of(qs.comp_values, m)
 
+    trees = [(base_rows, qs.base_proofs, proof.base_commitment, "base"),
+             (comp_rows, qs.comp_proofs, proof.comp_commitment, "comp")]
+    if num_ext:
+        trees.insert(1, (ext_rows, qs.ext_proofs, proof.ext_commitment,
+                         "ext"))
     for pos, idx in enumerate(indices):
-        for rows, proofs, root, label in (
-                (base_rows, qs.base_proofs, proof.base_commitment, "base"),
-                (ext_rows, qs.ext_proofs, proof.ext_commitment, "ext"),
-                (comp_rows, qs.comp_proofs, proof.comp_commitment, "comp")):
-            _verify_merkle_view(H, root, N, idx, proofs[pos], rows[pos],
-                                f"{label} tree, query {idx}")
+        for rows, proofs, root, label in trees:
+            _verify_merkle_view(scheme, F, root, N, idx, proofs[pos],
+                                rows[pos], f"{label} tree, query {idx}")
     trace("trace Merkle decommitments OK")
 
     # -- DEEP + FRI walk per query ------------------------------------------
@@ -211,8 +211,8 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
         for lpos, leaf in enumerate(leaves):
             row = layer.values[lpos * f:(lpos + 1) * f]
             _verify_merkle_view(
-                H, layer.commitment, half, leaf, layer.proofs[lpos], row,
-                f"FRI layer {li}, leaf {leaf}")
+                scheme, F, layer.commitment, half, leaf, layer.proofs[lpos],
+                row, f"FRI layer {li}, leaf {leaf}")
     trace("FRI Merkle decommitments OK")
 
     for pos, idx in enumerate(indices):

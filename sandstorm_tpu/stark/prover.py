@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from ..air.expr import LdeContext, evaluate_lde, trace_arguments
 from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
 from .openings import open_columns
+from .ark import ArkProof, ArkQueries, FriLayer, MerkleView
 from .fri import FriProver, bitrev_perm, bitrev_int
 from .options import ProofOptions
-from .proof import Proof, QueryOpening
 from .scheme import get_scheme
 
 
@@ -93,7 +93,7 @@ class _DomainCache:
 
 
 def prove(F, air_config, trace, options: ProofOptions = None,
-          scheme=None) -> Proof:
+          scheme=None) -> ArkProof:
     options = options or ProofOptions()
     scheme = get_scheme(scheme)
     p = F.MODULUS
@@ -170,13 +170,21 @@ def prove(F, air_config, trace, options: ProofOptions = None,
                         chunk_size=constraint_chunk_size(F, N))
     log("constraint evaluation")
 
-    # split C(x) = C0(x^2) + x*C1(x^2); commit [C0, C1] on the LDE domain
+    # split C(x) = sum_j x^j C_j(x^m); commit the m columns on the LDE
+    # domain.  The constraint quotients have degree < m*n (m = CE blowup,
+    # fixed per layout), so any lde_blowup_factor >= m works; the columns
+    # C_j have degree < n and live on the same N-sized domain as the trace.
     m = air_config.CE_BLOWUP_FACTOR
-    assert m == blowup == 2, "round-1 engine assumes ce blowup == lde blowup == 2"
+    assert blowup >= m, (
+        f"lde blowup {blowup} below the layout's CE blowup {m}: "
+        f"the composition polynomial would not fit the LDE domain")
     comp_coeffs_all = intt(F, comp)
     del comp
     comp_coeffs_all = F.mul(comp_coeffs_all, powers_host(F, pow(coset, -1, p), N))
-    comp_col_coeffs = [comp_coeffs_all[j::m] for j in range(m)]
+    # each split column C_j has degree < n (composition degree < m*n), so
+    # slots n.. of the N/m-length stride slice are zero; trim them so the
+    # batched opener sees uniform [n, L] arrays even when blowup > m
+    comp_col_coeffs = [comp_coeffs_all[j::m][:n] for j in range(m)]
     del comp_coeffs_all
     comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
                 for cc in comp_col_coeffs]
@@ -199,7 +207,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         F, stack, targs, z, g, n, extra_points=[z_m])
     oods_trace_values = [oods_values[a] for a in targs]
     oods_comp_values = [extra[0][comp_base + l] for l in range(m)]
-    coin.reseed_with_field_elements(p, oods_trace_values + oods_comp_values)
+    coin.reseed_with_field_element_vector(
+        p, oods_trace_values + oods_comp_values)
     # coefficient arrays served their last purpose (the openings); the
     # query phase only reads LDE rows — free ~1.5GB before DEEP/FRI
     del stack, coeffs_all, base_coeffs, ext_coeffs, comp_col_coeffs
@@ -229,7 +238,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     log("FRI layers")
     remainder = fri.finalize_remainder(
         evals, layer_sizes[-1] // f if layer_sizes else N, layer_coset)
-    coin.reseed_with_field_elements(p, remainder)
+    coin.reseed_with_field_element_vector(p, remainder)
 
     # -- 7: PoW + queries --------------------------------------------------
     log("FRI remainder")
@@ -253,35 +262,45 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     ext_rows = read_rows([ext_lde[i] for i in sorted(ext_lde)])
     comp_rows = read_rows(comp_lde)
 
-    def paths(tree):
+    def views(tree, rows):
+        """ark MerkleViews: sibling leaf + nodes above the leaf pair, plus
+        the queried row's own digest (ministark field order, stark/ark.py)."""
         if hasattr(tree, "prove_batch"):
-            return tree.prove_batch(indices)
-        return [tree.prove(i) for i in indices]
+            paths = tree.prove_batch(indices)
+        else:
+            paths = [tree.prove(i) for i in indices]
+        return [MerkleView(hashed=True, nodes=list(pth[1:]),
+                           initial_leaf=pth[0],
+                           sibling_leaf=scheme.hash_row(F, row))
+                for pth, row in zip(paths, rows)]
 
-    base_paths, ext_paths, comp_paths = \
-        paths(base_tree), paths(ext_tree), paths(comp_tree)
-    fri_all = fri.open_queries(indices)
+    base_views = views(base_tree, base_rows)
+    ext_views = views(ext_tree, ext_rows)
+    comp_views = views(comp_tree, comp_rows)
+    fri_ark = fri.open_ark(indices)
     log("query assembly")
 
-    openings = []
-    for q, idx in enumerate(indices):
-        openings.append(QueryOpening(
-            base_row=base_rows[q], ext_row=ext_rows[q], comp_row=comp_rows[q],
-            base_path=base_paths[q],
-            ext_path=ext_paths[q],
-            comp_path=comp_paths[q],
-            fri_rows=[r for r, _ in fri_all[q]],
-            fri_paths=[pth for _, pth in fri_all[q]],
-        ))
+    def flat(rows):
+        return [v for row in rows for v in row]
 
-    return Proof(
-        options=options, trace_len=n,
-        base_root=base_tree.root, ext_root=ext_tree.root,
-        comp_root=comp_tree.root,
-        oods_trace_values=oods_trace_values,
-        oods_comp_values=oods_comp_values,
-        fri_roots=fri_roots, fri_remainder=remainder,
-        pow_nonce=nonce, openings=openings,
+    return ArkProof(
+        options=(options.num_queries, options.lde_blowup_factor,
+                 options.proof_of_work_bits, options.fri_folding_factor,
+                 options.fri_max_remainder_coeffs),
+        trace_len=n,
+        base_commitment=base_tree.root,
+        ext_commitment=ext_tree.root,
+        comp_commitment=comp_tree.root,
+        fri_layers=[FriLayer(values=vals, proofs=vws, commitment=root)
+                    for (vals, vws), root in zip(fri_ark, fri_roots)],
+        fri_remainder=remainder,
+        pow_nonce=nonce,
+        queries=ArkQueries(
+            base_values=flat(base_rows), ext_values=flat(ext_rows),
+            comp_values=flat(comp_rows), base_proofs=base_views,
+            ext_proofs=ext_views, comp_proofs=comp_views),
+        execution_ood_evals=oods_trace_values,
+        composition_ood_evals=oods_comp_values,
     )
 
 

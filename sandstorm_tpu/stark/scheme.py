@@ -55,11 +55,15 @@ class GenericScheme:
         return MerkleTree.from_matrix_columns(
             [F.to_bytes_words(c) for c in lde_cols])
 
-    def verify_row(self, F, root, index, row_felts, path):
-        leaf = MerkleTree.hash_row_host(
+    def hash_row(self, F, row_felts) -> bytes:
+        """The leaf digest of a committed row (host mirror of commit)."""
+        return MerkleTree.hash_row_host(
             b"".join(int(v).to_bytes(F.NUM_BYTES, "little")
                      for v in row_felts))
-        return MerkleTree.verify(root, index, leaf, path)
+
+    def verify_row(self, F, root, index, row_felts, path):
+        return MerkleTree.verify(root, index, self.hash_row(F, row_felts),
+                                 path)
 
 
 class _HostTreeHandle:
@@ -110,6 +114,13 @@ class EthVerifierScheme:
         tree = LeafVariantMerkleTree.from_rows(self.H, rows)
         return _HostTreeHandle(tree, _digest32(tree.root), _digest32)
 
+    def hash_row(self, F, row_felts) -> bytes:
+        """Leaf digest: masked-Keccak element hash; single-column trees use
+        the unhashed (raw felt) leaf variant."""
+        if len(row_felts) == 1:
+            return int(row_felts[0]).to_bytes(32, "big")
+        return self.H.hash_elements(row_felts)
+
     def verify_row(self, F, root, index, row_felts, path):
         return LeafVariantMerkleTree.verify_row(
             self.H, root, index, list(row_felts), list(path))
@@ -150,6 +161,13 @@ class CairoVerifierScheme:
         if single or (depth < height and depth < self.n_friendly):
             return ("high", int.from_bytes(raw32, "big"))
         return ("low", raw32)
+
+    def hash_row(self, F, row_felts) -> bytes:
+        """Leaf digest (32-byte wire form): masked-Blake2s row hash, or the
+        raw felt big-endian for single-column (all-algebraic) trees."""
+        if len(row_felts) == 1:
+            return int(row_felts[0]).to_bytes(32, "big")
+        return MaskedBlake2sHashFn(20).hash_elements(row_felts)
 
     def verify_row(self, F, root, index, row_felts, path):
         height = len(path)

@@ -2,6 +2,8 @@
 
 The reference's e2e flow is cairo-compile/cairo-run/prove/verify
 (README.md:36-77); here the built-in mini runner generates the witness.
+Proofs are the engine's single ark-format type (stark/ark.py), matching
+the reference's ark-CanonicalSerialize byte layout.
 """
 
 import pytest
@@ -11,8 +13,8 @@ from sandstorm_tpu.claims import CairoClaim
 from sandstorm_tpu.fields.fp252 import Fp252
 from sandstorm_tpu.runner.vm import (
     CairoVM, instr_assert_eq_imm, instr_jmp_rel_imm)
+from sandstorm_tpu.stark.ark import parse_proof, serialize_proof
 from sandstorm_tpu.stark.options import ProofOptions
-from sandstorm_tpu.stark.proof import Proof
 from sandstorm_tpu.stark.verifier import VerificationError
 
 
@@ -50,26 +52,10 @@ def test_prove_verify_roundtrip(proof_and_claim):
 
 def test_proof_serialization_roundtrip(proof_and_claim):
     claim, proof = proof_and_claim
-    data = proof.to_bytes()
-    restored = Proof.from_bytes(data)
-    assert restored.to_bytes() == data
+    data = serialize_proof(proof)
+    restored = parse_proof(data)
+    assert serialize_proof(restored) == data
     assert claim.verify(restored, required_security_bits=0)
-
-
-def test_tampered_proof_fails(proof_and_claim):
-    claim, proof = proof_and_claim
-    data = proof.to_bytes()
-    bad = Proof.from_bytes(data)
-    bad.oods_trace_values = list(bad.oods_trace_values)
-    bad.oods_trace_values[0] = (bad.oods_trace_values[0] + 1) % Fp252.MODULUS
-    with pytest.raises(VerificationError):
-        claim.verify(bad, required_security_bits=0)
-
-    bad2 = Proof.from_bytes(data)
-    bad2.openings[0].base_row[0] = (bad2.openings[0].base_row[0] + 1) \
-        % Fp252.MODULUS
-    with pytest.raises(VerificationError):
-        claim.verify(bad2, required_security_bits=0)
 
 
 def test_prove_verify_goldilocks():
@@ -81,6 +67,21 @@ def test_prove_verify_goldilocks():
     claim = CairoClaim(None, pub, field=GL, layout=Layout.PLAIN)
     proof = claim.prove(witness, OPTIONS)
     assert claim.verify(proof, required_security_bits=0)
+
+
+@pytest.mark.parametrize("blowup,fold", [(2, 4), (2, 16), (4, 8), (4, 16)])
+def test_prove_verify_options_matrix(blowup, fold):
+    """Off-default engine parameters: lde_blowup_factor and
+    fri_folding_factor are real knobs (ProofOptions::new,
+    cli/src/main.rs:45-61), not pinned constants."""
+    pub, witness = _tiny_run()
+    claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN)
+    options = ProofOptions(num_queries=4, lde_blowup_factor=blowup,
+                           proof_of_work_bits=4, fri_folding_factor=fold,
+                           fri_max_remainder_coeffs=16)
+    proof = claim.prove(witness, options)
+    assert claim.verify(parse_proof(serialize_proof(proof)),
+                        required_security_bits=0)
 
 
 # -- adversarial tamper matrix ------------------------------------------------
@@ -96,29 +97,27 @@ def _t_pow_nonce(p):
 
 
 def _t_base_root(p):
-    p.base_root = bytes([p.base_root[0] ^ 1]) + p.base_root[1:]
+    p.base_commitment = bytes([p.base_commitment[0] ^ 1]) \
+        + p.base_commitment[1:]
 
 
 def _t_fri_root(p):
-    p.fri_roots = list(p.fri_roots)
-    p.fri_roots[-1] = bytes([p.fri_roots[-1][0] ^ 1]) + p.fri_roots[-1][1:]
+    last = p.fri_layers[-1]
+    last.commitment = bytes([last.commitment[0] ^ 1]) + last.commitment[1:]
 
 
 def _t_fri_row_value(p):
-    p.openings[0].fri_rows[0][0] = (p.openings[0].fri_rows[0][0] + 1) % P
+    p.fri_layers[0].values[0] = (p.fri_layers[0].values[0] + 1) % P
 
 
-def _t_fri_rows_truncated(p):
-    p.openings[0].fri_rows = p.openings[0].fri_rows[:-1]
-    p.openings[0].fri_paths = p.openings[0].fri_paths[:-1]
+def _t_fri_layer_dropped(p):
+    p.fri_layers = p.fri_layers[:-1]
 
 
-def _t_fri_rows_reordered(p):
-    rows = p.openings[0].fri_rows
-    if len(rows) >= 2:
-        rows[0], rows[1] = rows[1], rows[0]
-    else:
-        rows[0] = list(reversed(rows[0]))
+def _t_fri_row_reordered(p):
+    f = p.options[3]
+    row = p.fri_layers[0].values[:f]
+    p.fri_layers[0].values[:f] = list(reversed(row))
 
 
 def _t_fri_remainder(p):
@@ -128,34 +127,49 @@ def _t_fri_remainder(p):
 
 def _t_fri_remainder_extended(p):
     # exceed fri_max_remainder_coeffs: degree-bound check must fire
+    max_rem = p.options[4]
     p.fri_remainder = list(p.fri_remainder) + [1] * (
-        p.options.fri_max_remainder_coeffs + 1 - len(p.fri_remainder))
+        max_rem + 1 - len(p.fri_remainder))
 
 
 def _t_oods_comp_value(p):
-    p.oods_comp_values = list(p.oods_comp_values)
-    p.oods_comp_values[0] = (p.oods_comp_values[0] + 1) % P
+    p.composition_ood_evals = list(p.composition_ood_evals)
+    p.composition_ood_evals[0] = (p.composition_ood_evals[0] + 1) % P
+
+
+def _t_oods_trace_value(p):
+    p.execution_ood_evals = list(p.execution_ood_evals)
+    p.execution_ood_evals[0] = (p.execution_ood_evals[0] + 1) % P
 
 
 def _t_out_of_range_felt(p):
     # non-canonical felt in an opening: must be rejected, not reduced
-    p.openings[0].base_row[0] = p.openings[0].base_row[0] + P
+    p.queries.base_values[0] = p.queries.base_values[0] + P
 
 
 def _t_merkle_path_node(p):
-    path = p.openings[0].base_path
-    path[0] = bytes([path[0][0] ^ 1]) + path[0][1:]
+    view = p.queries.base_proofs[0]
+    if view.nodes:
+        view.nodes[0] = bytes([view.nodes[0][0] ^ 1]) + view.nodes[0][1:]
+    else:
+        view.initial_leaf = bytes([view.initial_leaf[0] ^ 1]) \
+            + view.initial_leaf[1:]
+
+
+def _t_merkle_own_leaf(p):
+    view = p.queries.base_proofs[0]
+    view.sibling_leaf = bytes([view.sibling_leaf[0] ^ 1]) \
+        + view.sibling_leaf[1:]
 
 
 def _t_ext_row(p):
-    if p.openings[0].ext_row:
-        p.openings[0].ext_row[0] = (p.openings[0].ext_row[0] + 1) % P
-    else:  # plain layout always has the permutation extension column
-        raise AssertionError("expected extension columns")
+    # plain layout always has permutation extension columns
+    assert p.queries.ext_values, "expected extension columns"
+    p.queries.ext_values[0] = (p.queries.ext_values[0] + 1) % P
 
 
 def _t_comp_row(p):
-    p.openings[0].comp_row[0] = (p.openings[0].comp_row[0] + 1) % P
+    p.queries.comp_values[0] = (p.queries.comp_values[0] + 1) % P
 
 
 def _t_trace_len(p):
@@ -164,16 +178,17 @@ def _t_trace_len(p):
 
 TAMPERS = [
     _t_pow_nonce, _t_base_root, _t_fri_root, _t_fri_row_value,
-    _t_fri_rows_truncated, _t_fri_rows_reordered, _t_fri_remainder,
-    _t_fri_remainder_extended, _t_oods_comp_value, _t_out_of_range_felt,
-    _t_merkle_path_node, _t_ext_row, _t_comp_row, _t_trace_len,
+    _t_fri_layer_dropped, _t_fri_row_reordered, _t_fri_remainder,
+    _t_fri_remainder_extended, _t_oods_comp_value, _t_oods_trace_value,
+    _t_out_of_range_felt, _t_merkle_path_node, _t_merkle_own_leaf,
+    _t_ext_row, _t_comp_row, _t_trace_len,
 ]
 
 
 @pytest.mark.parametrize("tamper", TAMPERS, ids=lambda t: t.__name__[3:])
 def test_tamper_matrix(proof_and_claim, tamper):
     claim, proof = proof_and_claim
-    bad = Proof.from_bytes(proof.to_bytes())
+    bad = parse_proof(serialize_proof(proof))
     tamper(bad)
     with pytest.raises((VerificationError, ValueError, AssertionError,
                         IndexError, OverflowError)) as exc:
