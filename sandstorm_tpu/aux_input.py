@@ -24,8 +24,17 @@ class CairoAuxInput:
         pub = self.pub
         segments = pub.memory_segments
         assert pub.n_steps & (pub.n_steps - 1) == 0
-        return ([pub.n_steps.bit_length() - 1, pub.rc_min, pub.rc_max,
-                 pub.layout.sharp_code()]
+        head = [pub.n_steps.bit_length() - 1, pub.rc_min, pub.rc_max,
+                pub.layout.sharp_code()]
+        if pub.layout == Layout.PLAIN:
+            # the reference never pairs the plain layout with the SHARP
+            # coins (input.rs supports starknet/recursive only; plain runs
+            # the generic coin, cli/src/main.rs:103-133) — this extension
+            # covers the builtin-free segment list so every scheme works
+            # on every layout here
+            return head + _seg(segments, "program") + _seg(
+                segments, "execution")
+        return (head
                 + _seg(segments, "program") + _seg(segments, "execution")
                 + _seg(segments, "output") + _seg(segments, "pedersen")
                 + _seg(segments, "range_check"))
@@ -40,6 +49,8 @@ class CairoAuxInput:
                     + [pad.address, pad.value, 1])
         if pub.layout == Layout.RECURSIVE:
             return _seg(segments, "bitwise") + [pad.address, pad.value, 1]
+        if pub.layout == Layout.PLAIN:
+            return [pad.address, pad.value, 1]
         raise NotImplementedError(f"aux input for layout {pub.layout}")
 
     def memory_page_values(self, hash_fn):

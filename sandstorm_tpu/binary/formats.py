@@ -38,12 +38,10 @@ class Layout(Enum):
     ALL_SOLIDITY = "all_solidity"
     STARKNET_WITH_KECCAK = "starknet_with_keccak"
 
-    # unique SHARP codes (binary/src/lib.rs:92-95)
+    # unique SHARP codes: the layout name as a big-endian ASCII integer
+    # (binary/src/lib.rs:92-95)
     def sharp_code(self) -> int:
-        return {
-            Layout.STARKNET: 8319381555716711796,
-            Layout.RECURSIVE: 2110234636557836973669,
-        }[self]
+        return int.from_bytes(self.value.encode(), "big")
 
 
 @dataclasses.dataclass

@@ -69,6 +69,25 @@ def test_prove_verify_goldilocks():
     assert claim.verify(proof, required_security_bits=0)
 
 
+@pytest.mark.parametrize("scheme", ["eth", "cairo"])
+def test_prove_verify_sharp_schemes(scheme):
+    """Full prove+verify under the SHARP-targeting schemes: eth
+    (LeafVariant masked-Keccak tree + Solidity coin, EthVerifierClaim) and
+    cairo (FriendlyMerkleTree + Cairo coin, CairoVerifierClaim) — the
+    reference's actual products (src/claims.rs:12-33)."""
+    pub, witness = _tiny_run()
+    claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN,
+                       scheme=scheme)
+    proof = claim.prove(witness, OPTIONS)
+    restored = parse_proof(serialize_proof(proof))
+    assert claim.verify(restored, required_security_bits=0)
+    # cross-scheme rejection: an eth proof must not verify as cairo & v.v.
+    other = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN,
+                       scheme="cairo" if scheme == "eth" else "eth")
+    with pytest.raises(VerificationError):
+        other.verify(restored, required_security_bits=0)
+
+
 @pytest.mark.parametrize("blowup,fold", [(2, 4), (2, 16), (4, 8), (4, 16)])
 def test_prove_verify_options_matrix(blowup, fold):
     """Off-default engine parameters: lde_blowup_factor and
