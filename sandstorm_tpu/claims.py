@@ -44,10 +44,10 @@ class CairoClaim:
     def generate_trace(self, witness):
         return self.trace_cls(self.F, self.program, self.public_input, witness)
 
-    def prove(self, witness, options: ProofOptions = None):
+    def prove(self, witness, options: ProofOptions = None, mesh=None):
         trace = self.generate_trace(witness)
         return stark_prove(self.F, self.air_config, trace, options,
-                           scheme=self.scheme)
+                           scheme=self.scheme, mesh=mesh)
 
     def verify(self, proof, required_security_bits: int = 80) -> bool:
         return stark_verify(self.F, self.air_config, self.public_input,

@@ -131,15 +131,24 @@ def _wpow_table_dev(F, n: int, inverse: bool):
     return _DEVICE_TABLES[key]
 
 
-def ntt(F, a, inverse: bool = False):
+def ntt(F, a, inverse: bool = False, local: bool = False):
     """In-order radix-2 NTT of a [n, L] array; returns evaluations at w^i.
 
     If inverse, computes the inverse NTT (including the 1/n scale).
+    Under an active mesh (parallel/runtime.py) the transform routes to the
+    multi-chip four-step `all_to_all` kernel; `local=True` forces the
+    single-device path (used by the four-step kernel's per-shard NTTs).
     """
     n = a.shape[0]
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
+    if not local:
+        from ..parallel import runtime
+        mesh = runtime.active_mesh()
+        if mesh is not None and runtime.four_step_ok(n, mesh):
+            from ..parallel.dist import dist_ntt
+            return dist_ntt(F, mesh, runtime.shard0(a, mesh), inverse)
     wpow = _wpow_table_dev(F, n, inverse)  # runtime arg, not constant
     a = jnp.take(a, jnp.asarray(_bitrev(n)), axis=0)
     return _ntt_core(F, a, wpow, inverse)

@@ -39,8 +39,11 @@ def make_mesh(n_devices: int = None, axis: str = "d") -> Mesh:
 
 
 def _batched_ntt(F, a, inverse: bool):
-    """NTT along axis 0 of [n, B, L] (vmapped over the middle axis)."""
-    return jax.vmap(lambda col: ntt(F, col, inverse),
+    """NTT along axis 0 of [n, B, L] (vmapped over the middle axis).
+
+    local=True: these run per-shard inside shard_map — they must not
+    re-enter the mesh dispatch in ntt()."""
+    return jax.vmap(lambda col: ntt(F, col, inverse, local=True),
                     in_axes=1, out_axes=1)(a)
 
 
@@ -57,7 +60,7 @@ def _four_step_local(F, x_local, tw_local, n1, n2, D, inverse, axis):
     # reshard cols -> rows: [n1, n2/D, L] -> [n1/D, n2, L]
     C = jax.lax.all_to_all(C, axis, split_axis=0, concat_axis=1, tiled=True)
     # row NTTs (length n2, local)
-    Dm = jax.vmap(lambda row: ntt(F, row, inverse))(C)
+    Dm = jax.vmap(lambda row: ntt(F, row, inverse, local=True))(C)
     # output natural order: X[k1 + n1*k2] = Dm[k1, k2] -> transpose and
     # redistribute so each device holds a contiguous natural chunk
     T = jnp.swapaxes(Dm, 0, 1)  # [n2, n1/D, L]
@@ -82,12 +85,17 @@ def _four_step_twiddles(F, n1: int, n2: int, inverse: bool):
     return out
 
 
+NTT_CALLS = 0  # instrumentation: counts four-step dispatches (tests)
+
+
 def dist_ntt(F, mesh: Mesh, x, inverse: bool = False, axis: str = "d"):
     """NTT of a sharded [n, L] array via the four-step method.
 
     x must be sharded over the mesh axis on dim 0 (natural-order chunks);
     the result has the same sharding.  The inverse includes the 1/n scale.
     """
+    global NTT_CALLS
+    NTT_CALLS += 1
     n = x.shape[0]
     D = mesh.shape[axis]
     # split n = n1*n2 as square as possible with D | n1 and D | n2

@@ -58,7 +58,12 @@ def constraint_chunk_size(F, N):
 
 
 def _lde_and_coeffs(F, column, blowup, coset):
-    """[n, L] trace column -> (coeffs [n, L], lde [N, L])."""
+    """[n, L] trace column -> (coeffs [n, L], lde [N, L]).
+
+    Under an active mesh the column is committed to axis-0 sharding and
+    both transforms run as four-step all_to_all NTTs (parallel/dist.py)."""
+    from ..parallel import runtime
+    column = runtime.shard0(column)
     coeffs = intt(F, column)
     lde = coset_eval_from_coeffs(F, coeffs, column.shape[0] * blowup, coset)
     return coeffs, lde
@@ -93,7 +98,17 @@ class _DomainCache:
 
 
 def prove(F, air_config, trace, options: ProofOptions = None,
-          scheme=None) -> ArkProof:
+          scheme=None, mesh=None) -> ArkProof:
+    """Prove a trace.  With `mesh` (a jax.sharding.Mesh), the pipeline runs
+    SPMD over the mesh: trace columns are sharded on the row axis, every
+    interpolate/LDE is the four-step all_to_all NTT, and the constraint
+    evaluation, DEEP composition, FRI folds, and Merkle leaf hashing stay
+    sharded through XLA's sharding propagation.  The transforms are
+    bit-identical to single-chip, so the proof verifies unchanged."""
+    if mesh is not None:
+        from ..parallel import runtime
+        with runtime.mesh_scope(mesh):
+            return prove(F, air_config, trace, options, scheme)
     options = options or ProofOptions()
     scheme = get_scheme(scheme)
     p = F.MODULUS

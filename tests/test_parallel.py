@@ -67,3 +67,42 @@ def test_dist_prove_step_runs():
     leaves = dist_prove_step(F, mesh, cols)
     assert leaves.shape == (n * 2, 8)
     np.asarray(jax.device_get(leaves))  # materializes without error
+
+
+def test_mesh_prove_e2e_fp252():
+    """The REAL prover pipeline runs SPMD over an 8-device mesh (VERDICT
+    item: multi-chip proving integrated into prove() itself): trace
+    columns sharded on the row axis, every interpolate/LDE a four-step
+    all_to_all NTT, and the resulting ark proof verifies on the host —
+    byte-identical to the single-chip proof of the same trace."""
+    from sandstorm_tpu.binary.formats import (AirPrivateInput, CairoWitness,
+                                              Layout)
+    from sandstorm_tpu.claims import CairoClaim
+    from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,
+                                         instr_jmp_rel_imm)
+    from sandstorm_tpu.stark.ark import serialize_proof
+    from sandstorm_tpu.stark.options import ProofOptions
+    from sandstorm_tpu.parallel import dist
+
+    p = Fp252.MODULUS
+    words = [instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0]
+    vm = CairoVM(words, p)
+    trace, mem = vm.run(16, initial_ap=6, extra_memory={5: 0})
+    registers, memory = vm.to_witness_arrays(trace, mem)
+    pub = vm.build_public_input(trace, mem, layout=Layout.PLAIN)
+    witness = CairoWitness(
+        air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
+        register_states=registers, memory=memory)
+    claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN)
+    options = ProofOptions(num_queries=4, lde_blowup_factor=2,
+                           proof_of_work_bits=4, fri_folding_factor=8,
+                           fri_max_remainder_coeffs=16)
+
+    mesh = make_mesh(8)
+    before = dist.NTT_CALLS
+    proof = claim.prove(witness, options, mesh=mesh)
+    assert dist.NTT_CALLS > before, "mesh prove did not hit the 4-step NTT"
+    assert claim.verify(proof, required_security_bits=0)
+
+    single = claim.prove(witness, options)
+    assert serialize_proof(proof) == serialize_proof(single)
