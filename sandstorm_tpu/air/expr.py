@@ -416,7 +416,7 @@ def _evaluate_lde_chunked(exprs, ctx: LdeContext, N: int, fold, B: int):
     assert fold is not None, "chunked evaluation requires a fold"
     assert N % B == 0 and ctx.coset is not None
     F = ctx.F
-    p = F.MODULUS
+    p = getattr(F, "BASE_MODULUS", F.MODULUS)  # domain powers are base-field
     w = F.root_of_unity_int(N)
     nodes = walk(exprs)
 
@@ -628,13 +628,17 @@ class IntContext:
     """
 
     def __init__(self, modulus, x, trace_values, challenges=(), hints=(),
-                 periodic_values=()):
+                 periodic_values=(), s=None):
         self.p = modulus
         self.x = x
         self.trace_values = trace_values
         self.challenges = challenges
         self.hints = hints
         self.periodic_values = periodic_values
+        # leaf wrapper: extension fields pass their host-scalar constructor
+        # (F.s) so every value entering the DAG carries field semantics;
+        # base fields reduce mod p
+        self.s = s or (lambda v: int(v) % modulus)
         self.memo = {}
 
 
@@ -643,6 +647,8 @@ def evaluate_int(exprs, ctx: IntContext):
     p = ctx.p
     memo = ctx.memo
 
+    s = ctx.s
+
     def ev(n):
         r = memo.get(id(n))
         if r is not None:
@@ -650,17 +656,17 @@ def evaluate_int(exprs, ctx: IntContext):
         k = n.key
         op = k[0]
         if op == "X":
-            r = ctx.x % p
+            r = s(ctx.x)
         elif op == "const":
-            r = k[1] % p
+            r = s(k[1])
         elif op == "trace":
-            r = ctx.trace_values[(k[1], k[2])] % p
+            r = s(ctx.trace_values[(k[1], k[2])])
         elif op == "challenge":
-            r = ctx.challenges[k[1]] % p
+            r = s(ctx.challenges[k[1]])
         elif op == "hint":
-            r = ctx.hints[k[1]] % p
+            r = s(ctx.hints[k[1]])
         elif op == "periodic":
-            r = ctx.periodic_values[k[1]] % p
+            r = s(ctx.periodic_values[k[1]])
         elif op == "add":
             r = (ev(n.args[0]) + ev(n.args[1])) % p
         elif op == "sub":

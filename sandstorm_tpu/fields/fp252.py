@@ -193,11 +193,22 @@ class Fp252:
 
     NLIMBS = NDIGITS
     MODULUS = P
+    BASE_MODULUS = P
     TWO_ADICITY = 192
     GENERATOR = 3
     NAME = "fp252"
     IS_MONT = True
     NUM_BYTES = 32
+
+    # -- host scalar hooks (identity for a base field) ----------------------
+
+    @staticmethod
+    def s(v):
+        return int(v) % P
+
+    @staticmethod
+    def host_mul(a: int, b: int) -> int:
+        return a * b % P
 
     # -- representation ----------------------------------------------------
 

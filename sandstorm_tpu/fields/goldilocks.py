@@ -29,9 +29,24 @@ class GL:
 
     NLIMBS = 2
     MODULUS = P
+    BASE_MODULUS = P
     TWO_ADICITY = 32
     GENERATOR = 7
     NAME = "goldilocks"
+
+    # -- host scalar hooks (identity for a base field) ----------------------
+
+    @staticmethod
+    def s(v):
+        return int(v) % P
+
+    @staticmethod
+    def host_mul(a: int, b: int) -> int:
+        return a * b % P
+
+    @staticmethod
+    def to_hash_bytes_int(v) -> bytes:
+        return int(v).to_bytes(8, "little")
 
     # -- representation ----------------------------------------------------
 

@@ -105,7 +105,8 @@ class PlainAirConfig:
     CYCLE_HEIGHT = CYCLE_HEIGHT
 
     @staticmethod
-    def constraints(trace_len: int, field_modulus: int, trace_gen: int):
+    def constraints(trace_len: int, field_modulus: int, trace_gen: int,
+                    base_modulus: int = None):
         """The 47 plain-layout constraints as DSL expressions.
 
         trace_gen is the order-trace_len root of unity (as a python int);
@@ -114,6 +115,10 @@ class PlainAirConfig:
         n = trace_len
         g = trace_gen
         p = field_modulus
+        # domain constants (powers of the base-field trace generator) are
+        # reduced mod the BASE modulus: for extension fields the packed
+        # encoding is not the integer ring mod the field order
+        pb = base_modulus or p
         assert n % CYCLE_HEIGHT == 0
 
         one = Constant(1)
@@ -142,23 +147,23 @@ class PlainAirConfig:
         rc16_diff_0 = rc(RC_ORDERED, 1) - rc(RC_ORDERED, 0)
 
         # zerofiers (worked examples in plain/air.rs:74-83,221-228,364-374)
-        flag0_offset = Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, p))
+        flag0_offset = Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, pb))
         flag0_zerofier = X.pow(n // CYCLE_HEIGHT) - flag0_offset
         flags_zerofier_inv = flag0_zerofier / (X.pow(n) - one)
         all_cycles_zerofier_inv = one / (X.pow(n // CYCLE_HEIGHT) - one)
         last_cycle_zerofier = X - Constant(
-            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), p))
+            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), pb))
         all_cycles_except_last_zerofier_inv = \
             last_cycle_zerofier * all_cycles_zerofier_inv
         first_row_zerofier_inv = one / (X - one)
         every_second_row_zerofier_inv = one / (X.pow(n // 2) - one)
-        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), p))
+        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), pb))
         second_last_row_zerofier_inv = one / second_last_row_zerofier
         every_second_row_except_last_zerofier_inv = \
             second_last_row_zerofier * every_second_row_zerofier_inv
         every_eighth_row_zerofier_inv = one / (X.pow(n // 8) - one)
         every_fourth_row_zerofier_inv = one / (X.pow(n // 4) - one)
-        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), p))
+        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), pb))
         fourth_last_row_zerofier_inv = one / fourth_last_row_zerofier
         every_fourth_row_except_last_zerofier = \
             fourth_last_row_zerofier * every_fourth_row_zerofier_inv

@@ -243,10 +243,15 @@ class RecursiveAirConfig:
         return [px.bind(trace_len), py.bind(trace_len)]
 
     @staticmethod
-    def constraints(trace_len: int, field_modulus: int, trace_gen: int):
+    def constraints(trace_len: int, field_modulus: int, trace_gen: int,
+                    base_modulus: int = None):
         n = trace_len
         g = trace_gen
         p = field_modulus
+        # domain constants (powers of the base-field trace generator) are
+        # reduced mod the BASE modulus: for extension fields the packed
+        # encoding is not the integer ring mod the field order
+        pb = base_modulus or p
         assert n % (2 * PEDERSEN_STEP_ROWS) == 0, \
             "recursive layout requires trace_len % 4096 == 0"
 
@@ -298,70 +303,70 @@ class RecursiveAirConfig:
                 bitwise_sum_var_8_0 + bitwise_chunk(3, j) * Constant(1 << (192 + j))
 
         # -- zerofiers --------------------------------------------------------
-        flag0_offset = Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, p))
+        flag0_offset = Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, pb))
         flag0_zerofier = X.pow(n // CYCLE_HEIGHT) - flag0_offset
         every_row_zerofier = X.pow(n) - one
         flags_zerofier_inv = flag0_zerofier / every_row_zerofier
         all_cycles_zerofier_inv = one / (X.pow(n // CYCLE_HEIGHT) - one)
         last_cycle_zerofier = X - Constant(
-            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), p))
+            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), pb))
         last_cycle_zerofier_inv = one / last_cycle_zerofier
         all_cycles_except_last_zerofier_inv = \
             last_cycle_zerofier * all_cycles_zerofier_inv
         first_row_zerofier_inv = one / (X - one)
 
         every_second_row_zerofier = X.pow(n // 2) - one
-        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), p))
+        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), pb))
         every_second_row_except_last_zerofier_inv = \
             second_last_row_zerofier / every_second_row_zerofier
         second_last_row_zerofier_inv = one / second_last_row_zerofier
 
         every_fourth_row_zerofier_inv = one / (X.pow(n // 4) - one)
-        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), p))
+        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), pb))
         fourth_last_row_zerofier_inv = one / fourth_last_row_zerofier
         every_fourth_row_except_last_zerofier_inv = \
             fourth_last_row_zerofier * every_fourth_row_zerofier_inv
 
-        last_row_zerofier = X - Constant(pow(g, n - 1, p))
+        last_row_zerofier = X - Constant(pow(g, n - 1, pb))
         last_row_zerofier_inv = one / last_row_zerofier
         every_row_except_last_zerofier_inv = \
             last_row_zerofier / every_row_zerofier
 
         every_1024_row_zerofier_inv = one / (X.pow(n // 1024) - one)
         pedersen_transition_zerofier_inv = \
-            (X.pow(n // 1024) - Constant(pow(g, 255 * n // 256, p))) \
+            (X.pow(n // 1024) - Constant(pow(g, 255 * n // 256, pb))) \
             * every_fourth_row_zerofier_inv
         pedersen_zero_suffix_zerofier_inv = \
-            one / (X.pow(n // 1024) - Constant(pow(g, 63 * n // 64, p)))
+            one / (X.pow(n // 1024) - Constant(pow(g, 63 * n // 64, pb)))
         pedersen_zeros_tail_zerofier_inv = \
-            one / (X.pow(n // 1024) - Constant(pow(g, 255 * n // 256, p)))
+            one / (X.pow(n // 1024) - Constant(pow(g, 255 * n // 256, pb)))
         pedersen_copy_zerofier_inv = \
-            (X.pow(n // 2048) - Constant(pow(g, n // 2, p))) \
+            (X.pow(n // 2048) - Constant(pow(g, n // 2, pb))) \
             * every_1024_row_zerofier_inv
         every_2048_row_zerofier_inv = one / (X.pow(n // 2048) - one)
         every_2048_rows_except_last_zerofier = \
-            (X - Constant(pow(g, 2048 * (n // 2048 - 1), p))) \
+            (X - Constant(pow(g, 2048 * (n // 2048 - 1), pb))) \
             * every_2048_row_zerofier_inv
 
         every_128_rows_zerofier_inv = one / (X.pow(n // 128) - one)
         every_128_rows_except_last_zerofier = \
-            (X - Constant(pow(g, 128 * (n // 128 - 1), p))) \
+            (X - Constant(pow(g, 128 * (n // 128 - 1), pb))) \
             * every_128_rows_zerofier_inv
 
         every_32_row_zerofier_inv = one / (X.pow(n // 32) - one)
         bitwise_transition_zerofier_inv = \
-            (X.pow(n // 128) - Constant(pow(g, 3 * n // 4, p))) \
+            (X.pow(n // 128) - Constant(pow(g, 3 * n // 4, pb))) \
             * every_32_row_zerofier_inv
         all_bitwise_zerofier = X.pow(n // 128) - one
         all_bitwise_zerofier_inv = one / all_bitwise_zerofier
         all_bitwise_except_last_zerofier_inv = \
-            (X - Constant(pow(g, 128 * (n // 128 - 1), p))) \
+            (X - Constant(pow(g, 128 * (n // 128 - 1), pb))) \
             * all_bitwise_zerofier_inv
         # vanishes on the 15 shifted 16-row segment groups + base group of
         # every 128-row window (hand-built zerofier, recursive/air.rs:1027-1044)
         seg = all_bitwise_zerofier
         for k in range(1, 16):
-            seg = seg * (X.pow(n // 128) - Constant(pow(g, k * n // 64, p)))
+            seg = seg * (X.pow(n // 128) - Constant(pow(g, k * n // 64, pb)))
         every_16_bit_segment_zerofier_inv = one / seg
 
         pedersen_point_x = Periodic(P_PEDERSEN_X)

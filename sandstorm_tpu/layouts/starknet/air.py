@@ -376,10 +376,15 @@ class StarknetAirConfig:
         return [pc.bind(trace_len) for pc in _periodic_columns()]
 
     @staticmethod
-    def constraints(trace_len: int, field_modulus: int, trace_gen: int):
+    def constraints(trace_len: int, field_modulus: int, trace_gen: int,
+                    base_modulus: int = None):
         n = trace_len
         g = trace_gen
         p = field_modulus
+        # domain constants (powers of the base-field trace generator) are
+        # reduced mod the BASE modulus: for extension fields the packed
+        # encoding is not the integer ring mod the field order
+        pb = base_modulus or p
         assert n % ECDSA_STEP_ROWS == 0, \
             "starknet layout requires trace_len % 32768 == 0"
 
@@ -449,31 +454,31 @@ class StarknetAirConfig:
 
         # -- zerofiers --------------------------------------------------------
         flag0_zerofier = X.pow(n // CYCLE_HEIGHT) \
-            - Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, p))
+            - Constant(pow(g, F_ZERO * n // CYCLE_HEIGHT, pb))
         every_row_zerofier = X.pow(n) - one
         flags_zerofier_inv = flag0_zerofier / every_row_zerofier
         all_cycles_zerofier_inv = one / (X.pow(n // CYCLE_HEIGHT) - one)
         last_cycle_zerofier = X - Constant(
-            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), p))
+            pow(g, CYCLE_HEIGHT * (n // CYCLE_HEIGHT - 1), pb))
         last_cycle_zerofier_inv = one / last_cycle_zerofier
         all_cycles_except_last_zerofier_inv = \
             last_cycle_zerofier * all_cycles_zerofier_inv
         first_row_zerofier_inv = one / (X - one)
 
         every_second_row_zerofier = X.pow(n // 2) - one
-        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), p))
+        second_last_row_zerofier = X - Constant(pow(g, 2 * (n // 2 - 1), pb))
         every_second_row_except_last_zerofier_inv = \
             second_last_row_zerofier / every_second_row_zerofier
         second_last_row_zerofier_inv = one / second_last_row_zerofier
 
         every_fourth_row_zerofier_inv = one / (X.pow(n // 4) - one)
-        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), p))
+        fourth_last_row_zerofier = X - Constant(pow(g, 4 * (n // 4 - 1), pb))
         fourth_last_row_zerofier_inv = one / fourth_last_row_zerofier
         every_fourth_row_except_last_zerofier_inv = \
             fourth_last_row_zerofier * every_fourth_row_zerofier_inv
 
         every_eighth_row_zerofier_inv = one / (X.pow(n // 8) - one)
-        eighth_last_row_zerofier = X - Constant(pow(g, 8 * (n // 8 - 1), p))
+        eighth_last_row_zerofier = X - Constant(pow(g, 8 * (n // 8 - 1), pb))
         eighth_last_row_zerofier_inv = one / eighth_last_row_zerofier
         every_8_rows_except_last_zerofier_inv = \
             eighth_last_row_zerofier * every_eighth_row_zerofier_inv
@@ -483,67 +488,67 @@ class StarknetAirConfig:
 
         # pedersen (groups of 256 rows, step 1)
         pedersen_transition_zerofier_inv = \
-            (X.pow(n // 256) - Constant(pow(g, 255 * n // 256, p))) \
+            (X.pow(n // 256) - Constant(pow(g, 255 * n // 256, pb))) \
             / every_row_zerofier
         pedersen_zero_suffix_zerofier_inv = \
-            one / (X.pow(n // 256) - Constant(pow(g, 63 * n // 64, p)))
+            one / (X.pow(n // 256) - Constant(pow(g, 63 * n // 64, pb)))
         pedersen_zeros_tail_zerofier_inv = \
-            one / (X.pow(n // 256) - Constant(pow(g, 255 * n // 256, p)))
+            one / (X.pow(n // 256) - Constant(pow(g, 255 * n // 256, pb)))
         pedersen_copy_zerofier_inv = \
-            (X.pow(n // 512) - Constant(pow(g, n // 2, p))) \
+            (X.pow(n // 512) - Constant(pow(g, n // 2, pb))) \
             * every_256_row_zerofier_inv
         every_512_row_zerofier_inv = one / (X.pow(n // 512) - one)
         every_512_rows_except_last_zerofier = \
-            (X - Constant(pow(g, 512 * (n // 512 - 1), p))) \
+            (X - Constant(pow(g, 512 * (n // 512 - 1), pb))) \
             * every_512_row_zerofier_inv
 
         # rc128 (256 rows per instance)
         every_256_rows_except_last_zerofier = \
-            (X - Constant(pow(g, 256 * (n // 256 - 1), p))) \
+            (X - Constant(pow(g, 256 * (n // 256 - 1), pb))) \
             * every_256_row_zerofier_inv
 
         # ecdsa / ec_op
         ec_op_transition_zerofier_inv = \
-            (X.pow(n // 16384) - Constant(pow(g, 255 * n // 256, p))) \
+            (X.pow(n // 16384) - Constant(pow(g, 255 * n // 256, pb))) \
             * every_64_row_zerofier_inv
         every_128_row_zerofier = X.pow(n // 128) - one
         ecdsa_transition_zerofier_inv = \
-            (X.pow(n // 32768) - Constant(pow(g, 255 * n // 256, p))) \
+            (X.pow(n // 32768) - Constant(pow(g, 255 * n // 256, pb))) \
             / every_128_row_zerofier
         ecdsa_zero_suffix_zerofier_inv = \
-            one / (X.pow(n // 32768) - Constant(pow(g, 251 * n // 256, p)))
+            one / (X.pow(n // 32768) - Constant(pow(g, 251 * n // 256, pb)))
         ecdsa_zeros_tail_zerofier_inv = \
-            one / (X.pow(n // 32768) - Constant(pow(g, 255 * n // 256, p)))
+            one / (X.pow(n // 32768) - Constant(pow(g, 255 * n // 256, pb)))
         ec_op_zero_suffix_zerofier_inv = \
-            one / (X.pow(n // 16384) - Constant(pow(g, 251 * n // 256, p)))
+            one / (X.pow(n // 16384) - Constant(pow(g, 251 * n // 256, pb)))
         ec_op_zeros_tail_zerofier_inv = \
-            one / (X.pow(n // 16384) - Constant(pow(g, 255 * n // 256, p)))
+            one / (X.pow(n // 16384) - Constant(pow(g, 255 * n // 256, pb)))
         all_ecdsa_zerofier_inv = one / (X.pow(n // 32768) - one)
         all_ec_op_zerofier_inv = one / (X.pow(n // 16384) - one)
         all_ecdsa_except_last_zerofier_inv = \
-            (X - Constant(pow(g, 32768 * (n // 32768 - 1), p))) \
+            (X - Constant(pow(g, 32768 * (n // 32768 - 1), pb))) \
             * all_ecdsa_zerofier_inv
         all_ec_op_except_last_zerofier_inv = \
-            (X - Constant(pow(g, 16384 * (n // 16384 - 1), p))) \
+            (X - Constant(pow(g, 16384 * (n // 16384 - 1), pb))) \
             * all_ec_op_zerofier_inv
 
         # bitwise (1024 rows per instance, pool step 256)
         bitwise_transition_zerofier_inv = \
-            (X.pow(n // 1024) - Constant(pow(g, 3 * n // 4, p))) \
+            (X.pow(n // 1024) - Constant(pow(g, 3 * n // 4, pb))) \
             * every_256_row_zerofier_inv
         all_bitwise_zerofier = X.pow(n // 1024) - one
         all_bitwise_zerofier_inv = one / all_bitwise_zerofier
         all_bitwise_except_last_zerofier_inv = \
-            (X - Constant(pow(g, 1024 * (n // 1024 - 1), p))) \
+            (X - Constant(pow(g, 1024 * (n // 1024 - 1), pb))) \
             * all_bitwise_zerofier_inv
         seg = all_bitwise_zerofier
         for k in range(1, 16):
-            seg = seg * (X.pow(n // 1024) - Constant(pow(g, k * n // 64, p)))
+            seg = seg * (X.pow(n // 1024) - Constant(pow(g, k * n // 64, pb)))
         every_16_bit_segment_zerofier_inv = one / seg
 
         # poseidon domains (starknet/air.rs:1856-2121)
         def dom_pow512(num, den):
-            return X.pow(n // 512) - Constant(pow(g, num * n // den, p))
+            return X.pow(n // 512) - Constant(pow(g, num * n // den, pb))
 
         domain14 = dom_pow512(3, 4) * dom_pow512(7, 8)
         domain15 = dom_pow512(5, 8) * domain14
@@ -557,10 +562,10 @@ class StarknetAirConfig:
         poseidon_io_step_zerofier_inv = domain15 * every_64_row_zerofier_inv
         all_poseidon_zerofier_inv = every_512_row_zerofier_inv
         all_poseidon_except_last_zerofier_inv = \
-            (X - Constant(pow(g, 512 * (n // 512 - 1), p))) \
+            (X - Constant(pow(g, 512 * (n // 512 - 1), pb))) \
             * every_512_row_zerofier_inv
         poseidon_half_full_transition_zerofier_inv = \
-            (X.pow(n // 256) - Constant(pow(g, 3 * n // 4, p))) \
+            (X.pow(n // 256) - Constant(pow(g, 3 * n // 4, pb))) \
             * every_64_row_zerofier_inv
 
         pedersen_point_x = Periodic(P_PEDERSEN_X)

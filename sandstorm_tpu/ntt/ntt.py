@@ -48,11 +48,10 @@ def powers_host(F, base: int, count: int):
     this keeps XLA graphs free of log-depth scan towers (compile time).
     Cached per (field, base, count).
     """
-    p = F.MODULUS
     vals = [1] * count
     x = 1
     for i in range(1, count):
-        x = x * base % p
+        x = F.host_mul(x, base)
         vals[i] = x
     return F.encode_ints_np(vals)  # numpy: safe to cache across jit traces
 
@@ -66,7 +65,9 @@ def _wpow_table(F, n: int, inverse: bool):
     """
     w = F.root_of_unity_int(n)
     if inverse:
-        w = pow(w, -1, F.MODULUS)
+        # domain points live in the base field (extension fields expose
+        # BASE_MODULUS for root/coset exponentiations)
+        w = pow(w, -1, F.BASE_MODULUS)
     return powers_host(F, w, n)
 
 
@@ -107,7 +108,7 @@ def _ntt_core(F, a, wpow, inverse: bool):
 
     a, _ = jax.lax.scan(stage, a, jnp.arange(1, logn + 1, dtype=jnp.int32))
     if inverse:
-        n_inv = F.encode_int(pow(n, -1, F.MODULUS))
+        n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
         a = F.mul(a, jnp.broadcast_to(n_inv, a.shape))
     return a
 

@@ -35,14 +35,25 @@ import jax.numpy as jnp
 from ..ntt import intt, powers_host
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _fold_inner(F, E, coeffs):
+def _fold_inner_raw(F, E, coeffs):
     """inner = sum_t coeffs[t] * E[t]: [f, M, L] x [f, L] -> [M, L]."""
     acc = None
     for t in range(E.shape[0]):
         term = F.mul(E[t], jnp.broadcast_to(coeffs[t], E[t].shape))
         acc = term if acc is None else F.add(acc, term)
     return acc
+
+
+_fold_inner_fused = functools.partial(jax.jit, static_argnums=(0,))(
+    _fold_inner_raw)
+
+
+def _fold_inner(F, E, coeffs):
+    # extension fields skip the fused f-term mul chain (XLA:CPU optimize
+    # pathology — see fields/gl3.py); eager runs the small jitted kernels
+    if getattr(F, "XLA_FUSE_SAFE", True):
+        return _fold_inner_fused(F, E, coeffs)
+    return _fold_inner_raw(F, E, coeffs)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -57,7 +68,7 @@ def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
     one fused 64-multiply graph crashes the TPU remote-compile helper at
     the starknet layer size, and big tables are runtime args regardless.
     """
-    p = F.MODULUS
+    p = F.BASE_MODULUS  # fold geometry (roots, coset) is base-field
     N = layer_size
     assert evals.shape[0] == N
     w_inv = pow(F.root_of_unity_int(N), -1, p)

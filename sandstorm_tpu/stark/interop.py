@@ -79,6 +79,7 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     if required_security_bits:
         _check(options.security_level_bits() >= required_security_bits,
                "proof options below required security level")
+    pb = F.BASE_MODULUS
     n = proof.trace_len
     _check(n == public_input.n_steps * air_config.CYCLE_HEIGHT,
            "trace length inconsistent with public input")
@@ -127,28 +128,31 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     trace(f"z = {z}")
 
     # -- OODS constraint identity (needs challenges + alpha_comp) ------------
-    constraints = air_config.constraints(n, p, g)
+    constraints = air_config.constraints(n, p, g, base_modulus=pb)
     targs = trace_arguments(constraints)
     _check(len(targs) == len(proof.execution_ood_evals),
            "wrong number of OODS trace values")
     _check(m == len(proof.composition_ood_evals),
            "wrong number of OODS composition values")
+    zS = F.s(z)
     if challenges is not None and alpha_comp is not None:
-        hints = air_config.gen_hints(n, public_input, challenges, p)
+        hints = air_config.gen_hints(n, public_input,
+                                     [F.s(c) for c in challenges], p)
         trace_values = dict(zip(targs, proof.execution_ood_evals))
         periodic_cols = (air_config.periodic_columns(n)
                          if hasattr(air_config, "periodic_columns") else [])
-        periodic_values = [pc.eval_int(z, p) for pc in periodic_cols]
+        periodic_values = [pc.eval_int(zS, p) for pc in periodic_cols]
         ctx = IntContext(p, z, trace_values, challenges, hints,
-                         periodic_values)
+                         periodic_values, s=F.s)
         cvals = evaluate_int(constraints, ctx)
+        acS = F.s(alpha_comp)
         comp_at_z = cvals[-1]
         for cv in reversed(cvals[:-1]):
-            comp_at_z = (comp_at_z * alpha_comp + cv) % p
-        claimed = 0
+            comp_at_z = (comp_at_z * acS + cv) % p
+        claimed = F.s(0)
         for l in reversed(range(m)):
-            claimed = (claimed * z + proof.composition_ood_evals[l]) % p
-        _check(comp_at_z == claimed, "OODS constraint identity failed")
+            claimed = (claimed * zS + F.s(proof.composition_ood_evals[l])) % p
+        _check(F.s(comp_at_z) == claimed, "OODS constraint identity failed")
         trace("OODS constraint identity OK")
 
     # -- per-query data (rows stored row-major over sorted query indices) ----
@@ -185,8 +189,9 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
 
     # -- DEEP + FRI walk per query ------------------------------------------
     offsets = sorted({off for (_, off) in targs})
-    z_m = pow(z, m, p)
-    points = [z * pow(g, off % n, p) % p for off in offsets]
+    z_m = zS ** m
+    alphaS = F.s(alpha_deep)
+    points = [zS * pow(g, off % n, pb) for off in offsets]
 
     # FRI layer sizes + per-layer deduped row indices (stored space)
     layer_sizes = []
@@ -216,26 +221,31 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
     trace("FRI Merkle decommitments OK")
 
     for pos, idx in enumerate(indices):
-        x = coset * pow(w_N, bitrev_int(idx, kN), p) % p
+        x = coset * pow(w_N, bitrev_int(idx, kN), pb) % pb
 
         def col_val(col):
             return (base_rows[pos][col] if col < num_base
                     else ext_rows[pos][col - num_base])
 
-        deep_val = 0
-        coeff = 1
+        # per-point denominator inverses, shared across the trace args
+        # (pow with exponent MODULUS-2 is the field's Fermat inverse —
+        # for extensions MODULUS is the full field order)
+        pt_inv = [pow((x - pt) % p, p - 2, p) for pt in points]
+        zm_inv = pow((x - z_m) % p, p - 2, p)
+        deep_val = F.s(0)
+        coeff = F.s(1)
         for j, (col, off) in enumerate(targs):
             k = offsets.index(off)
             t = proof.execution_ood_evals[j]
-            deep_val = (deep_val + coeff * (col_val(col) - t)
-                        * pow(x - points[k], p - 2, p)) % p
-            coeff = coeff * alpha_deep % p
+            deep_val = (deep_val + coeff * (F.s(col_val(col)) - F.s(t))
+                        * pt_inv[k]) % p
+            coeff = coeff * alphaS
         for l in range(m):
             deep_val = (deep_val
-                        + coeff * (comp_rows[pos][l]
-                                   - proof.composition_ood_evals[l])
-                        * pow(x - z_m, p - 2, p)) % p
-            coeff = coeff * alpha_deep % p
+                        + coeff * (F.s(comp_rows[pos][l])
+                                   - F.s(proof.composition_ood_evals[l]))
+                        * zm_inv) % p
+            coeff = coeff * alphaS
 
         cur_val = deep_val
         cur_idx = idx
@@ -246,22 +256,23 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
             t_pos = cur_idx % f
             lpos = layer_leaf_sets[li].index(b)
             row = proof.fri_layers[li].values[lpos * f:(lpos + 1) * f]
-            _check(row[t_pos] == cur_val,
+            _check(F.s(row[t_pos]) == cur_val,
                    f"FRI layer {li} value mismatch at query {idx}")
-            row_nat = [row[bitrev_int(t, logf)] for t in range(f)]
+            row_nat = [F.s(row[bitrev_int(t, logf)]) for t in range(f)]
             i_nat = bitrev_int(b, half.bit_length() - 1)
             w_l = F.root_of_unity_int(layer_size)
-            cur_val = fri_fold_host(p, row_nat, i_nat, layer_size,
-                                    layer_coset, w_l, f, fri_betas[li])
+            cur_val = F.s(fri_fold_host(pb, row_nat, i_nat, layer_size,
+                                        layer_coset, w_l, f,
+                                        F.s(fri_betas[li])))
             cur_idx = b
-            layer_coset = pow(layer_coset, f, p)
+            layer_coset = pow(layer_coset, f, pb)
 
         last_size = layer_sizes[-1] // f if layer_sizes else N
         y = pow(F.root_of_unity_int(last_size),
-                bitrev_int(cur_idx, last_size.bit_length() - 1), p)
-        rem_val = 0
+                bitrev_int(cur_idx, last_size.bit_length() - 1), pb)
+        rem_val = F.s(0)
         for c in reversed(proof.fri_remainder):
-            rem_val = (rem_val * y + c) % p
+            rem_val = (rem_val * y + F.s(c)) % p
         _check(rem_val == cur_val, f"FRI remainder mismatch at query {idx}")
     trace("DEEP + FRI walk OK")
 

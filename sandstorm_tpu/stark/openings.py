@@ -115,10 +115,13 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     """
     from ..ntt import powers_host
     p = F.MODULUS
+    pb = F.BASE_MODULUS
     cols = sorted(coeffs_by_col)
     col_arrays = tuple(coeffs_by_col[c] for c in cols)
     offsets = sorted({off for (_, off) in targs})
-    pts = [z * pow(g, off % n, p) % p for off in offsets] + list(extra_points)
+    zs = F.s(z)
+    pts = [int(zs * pow(g, off % n, pb)) for off in offsets] \
+        + [int(F.s(e)) for e in extra_points]
     from ..fields.fp252 import _use_pallas
     if _use_pallas() and n % 512 == 0 and n >= 4096 \
             and getattr(F, "NAME", "") == "fp252":
@@ -129,7 +132,7 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
         outs = []
         for pt in pts:
             lo = powers_host(F, pt % p, b)
-            hi = powers_host(F, pow(pt, b, p), a)
+            hi = powers_host(F, int(F.s(pt) ** b), a)
             outs.append(_open_all_at_point(F, col_arrays, hi, lo))
         vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
     values = {}

@@ -76,7 +76,6 @@ class _DomainCache:
         self.F = F
         self.N = N
         self.coset = coset
-        p = F.MODULUS
         self.w = F.root_of_unity_int(N)
         self._cache = {}
 
@@ -85,7 +84,9 @@ class _DomainCache:
 
     def x_pow(self, e, period=None):
         """[period, L] array of (coset * w^i)^e; period = N/gcd(N, e)."""
-        F, p = self.F, self.F.MODULUS
+        # the domain lives in the base field
+        F = self.F
+        p = F.BASE_MODULUS
         if period is None:
             period = self.N // math.gcd(self.N, e)
         key = (e % (p - 1), period)
@@ -111,7 +112,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
             return prove(F, air_config, trace, options, scheme)
     options = options or ProofOptions()
     scheme = get_scheme(scheme)
-    p = F.MODULUS
+    p = F.MODULUS          # field order (draw bound, Fermat exponents)
+    pb = F.BASE_MODULUS    # domain (root-of-unity / coset) arithmetic
     n = trace.trace_len
     blowup = options.lde_blowup_factor
     N = n * blowup
@@ -156,9 +158,12 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     log("extension commit")
 
     # -- 4: constraint evaluation + composition ----------------------------
-    hints = air_config.gen_hints(n, pub, challenges, p)
+    # hints are transcript-derived field values: compute through the host
+    # scalar (extension-aware), carry as canonical packed ints
+    hints = [int(F.s(h)) for h in
+             air_config.gen_hints(n, pub, [F.s(c) for c in challenges], p)]
     alpha_comp = coin.draw_felt(p)
-    constraints = air_config.constraints(n, p, g)
+    constraints = air_config.constraints(n, p, g, base_modulus=pb)
     periodic_cols = (air_config.periodic_columns(n)
                      if hasattr(air_config, "periodic_columns") else [])
     ctx = LdeContext(
@@ -175,8 +180,10 @@ def prove(F, air_config, trace, options: ProofOptions = None,
 
     # composition = sum_i alpha^i C_i, folded as constraint values stream
     # out of the evaluator (keeps peak memory at the live set)
+    alpha_comp_s = F.s(alpha_comp)
+
     def fold_composition(acc, cv, i):
-        coeff = F.encode_int(pow(alpha_comp, i, p))
+        coeff = F.encode_int(int(alpha_comp_s ** i))
         term = F.mul(cv, jnp.broadcast_to(coeff, cv.shape))
         return term if acc is None else F.add(acc, term)
 
@@ -195,7 +202,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         f"the composition polynomial would not fit the LDE domain")
     comp_coeffs_all = intt(F, comp)
     del comp
-    comp_coeffs_all = F.mul(comp_coeffs_all, powers_host(F, pow(coset, -1, p), N))
+    comp_coeffs_all = F.mul(comp_coeffs_all,
+                            powers_host(F, pow(coset, -1, pb), N))
     # each split column C_j has degree < n (composition degree < m*n), so
     # slots n.. of the N/m-length stride slice are zero; trim them so the
     # batched opener sees uniform [n, L] arrays even when blowup > m
@@ -212,7 +220,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     targs = trace_arguments(constraints)
     # batched openings: all columns (trace + composition) at all points
     # in ONE device round trip (stark/openings.py)
-    z_m = pow(z, m, p)
+    z_m = int(F.s(z) ** m)
     comp_base = 1000  # key offset for composition columns in the stack
     coeffs_all = {**base_coeffs, **ext_coeffs}
     stack = dict(coeffs_all)
@@ -249,7 +257,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         coin.reseed_with_digest(root)
         beta = coin.draw_felt(p)
         evals = fri.fold(evals, layer_size, layer_coset, beta)
-        layer_coset = pow(layer_coset, f, p)
+        layer_coset = pow(layer_coset, f, pb)
     log("FRI layers")
     remainder = fri.finalize_remainder(
         evals, layer_sizes[-1] // f if layer_sizes else N, layer_coset)
@@ -358,8 +366,7 @@ def _deep_den_scans(F, x, pts):
     return _deep_den_bwd(F, x, pts, pref_excl, inv_total)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
+def _deep_apply_point_raw(F, acc, ldes, tv, cv, inv_k):
     """acc += inv_k * sum_j cv[j]*(ldes[j] - tv[j]) for one point's terms."""
     numer = None
     for j, lde in enumerate(ldes):
@@ -368,6 +375,19 @@ def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
         numer = term if numer is None else F.add(numer, term)
     term = F.mul(numer, inv_k)
     return term if acc is None else F.add(acc, term)
+
+
+_deep_apply_point_fused = functools.partial(jax.jit, static_argnums=(0,))(
+    _deep_apply_point_raw)
+
+
+def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
+    # extension fields skip whole-group fusion: a linear chain of their
+    # multi-coordinate muls in one graph sends XLA:CPU optimize unbounded
+    # (fields/gl3.py); the eager path dispatches the small jitted kernels
+    if getattr(F, "XLA_FUSE_SAFE", True):
+        return _deep_apply_point_fused(F, acc, ldes, tv, cv, inv_k)
+    return _deep_apply_point_raw(F, acc, ldes, tv, cv, inv_k)
 
 
 def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
@@ -381,24 +401,27 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     inverses come from one fused pair of K-axis scans (_deep_den_scans)
     and each point's terms fold in with one fused dispatch.
     """
-    p = F.MODULUS
+    pb = F.BASE_MODULUS
     m = len(comp_lde)
     N = next(iter(trace_lde.values())).shape[0]
     offsets = sorted({off for (_, off) in targs})
-    points = [z * pow(g, off % n, p) % p for off in offsets] + [pow(z, m, p)]
+    zs = F.s(z)
+    points = [int(zs * pow(g, off % n, pb)) for off in offsets] \
+        + [int(zs ** m)]
     K = len(points)
     domain = dom.domain()
 
     # group terms by point, in transcript order for the alpha powers
     groups = [[] for _ in range(K)]
-    coeff = 1
+    alpha_s = F.s(alpha_deep)
+    coeff = F.s(1)
     for j, (col, off) in enumerate(targs):
         groups[offsets.index(off)].append(
-            (trace_lde[col], oods_trace_values[j], coeff))
-        coeff = coeff * alpha_deep % p
+            (trace_lde[col], oods_trace_values[j], int(coeff)))
+        coeff = coeff * alpha_s
     for l, c_lde in enumerate(comp_lde):
-        groups[K - 1].append((c_lde, oods_comp_values[l], coeff))
-        coeff = coeff * alpha_deep % p
+        groups[K - 1].append((c_lde, oods_comp_values[l], int(coeff)))
+        coeff = coeff * alpha_s
     tv = [jnp.stack([F.encode_int(t) for (_, t, _) in grp])
           for grp in groups]
     cv = [jnp.stack([F.encode_int(c) for (_, _, c) in grp])

@@ -69,6 +69,29 @@ def test_prove_verify_goldilocks():
     assert claim.verify(proof, required_security_bits=0)
 
 
+def test_prove_verify_goldilocks_cubic_extension():
+    """The Goldilocks CUBIC-EXTENSION configuration: trace columns embed in
+    GF(p), but challenges, the OODS point, and all DEEP/FRI randomness are
+    GF(p^3) elements (~2^-190 per-challenge soundness) — the analog of the
+    reference's `Fq3: StarkExtensionOf<Fp>` fast-field dispatch
+    (cli/src/main.rs:104-133)."""
+    from sandstorm_tpu.fields.gl3 import GL3, Q
+    pub, witness = _tiny_run()
+    claim = CairoClaim(None, pub, field=GL3, layout=Layout.PLAIN)
+    options = ProofOptions(num_queries=4, lde_blowup_factor=2,
+                           proof_of_work_bits=4, fri_folding_factor=8,
+                           fri_max_remainder_coeffs=16)
+    proof = claim.prove(witness, options)
+    # every transcript draw is a full-width extension element
+    restored = parse_proof(serialize_proof(proof))
+    assert claim.verify(restored, required_security_bits=0)
+    # the OODS evaluations genuinely live in the extension (not base-embedded)
+    from sandstorm_tpu.fields.goldilocks import P as GLP
+    assert any(v >= GLP for v in proof.execution_ood_evals), \
+        "OODS trace values unexpectedly all in the base field"
+    assert all(v < Q for v in proof.execution_ood_evals)
+
+
 @pytest.mark.parametrize("scheme", ["eth", "cairo"])
 def test_prove_verify_sharp_schemes(scheme):
     """Full prove+verify under the SHARP-targeting schemes: eth

@@ -114,3 +114,74 @@ def test_goldilocks_bytes():
     words = np.asarray(GL.to_bytes_words(arr))[0]
     got = b"".join(int(w).to_bytes(4, "little") for w in words)
     assert got == x.to_bytes(8, "little")
+
+
+class TestGL3:
+    """GF(p^3) cubic extension of Goldilocks (x^3 = 2): device kernels and
+    the host Fq3S scalar vs an independent coordinate-wise int oracle.
+    Reference capability: ministark's `Fq3: StarkExtensionOf<Fp>` fast-field
+    configuration (cli/src/main.rs:104-133)."""
+
+    def _oracle_mul(self, a, b):
+        from sandstorm_tpu.fields.gl3 import unpack, pack, NR
+        from sandstorm_tpu.fields.goldilocks import P
+        a0, a1, a2 = unpack(a)
+        b0, b1, b2 = unpack(b)
+        c0 = (a0 * b0 + NR * (a1 * b2 + a2 * b1)) % P
+        c1 = (a0 * b1 + a1 * b0 + NR * a2 * b2) % P
+        c2 = (a0 * b2 + a1 * b1 + a2 * b0) % P
+        return pack(c0, c1, c2)
+
+    def test_irreducibility(self):
+        # x^3 - 2 is irreducible over GF(p) iff 2 is a non-cube
+        from sandstorm_tpu.fields.gl3 import NR
+        from sandstorm_tpu.fields.goldilocks import P
+        assert (P - 1) % 3 == 0
+        assert pow(NR, (P - 1) // 3, P) != 1
+
+    def test_scalar_mul_inv_pow(self):
+        from sandstorm_tpu.fields.gl3 import Fq3S, Q
+        rng = random.Random(7)
+        for _ in range(20):
+            a, b = rng.randrange(Q), rng.randrange(Q)
+            assert int(Fq3S.from_packed(a) * Fq3S.from_packed(b)) \
+                == self._oracle_mul(a, b)
+        for _ in range(10):
+            a = rng.randrange(1, Q)
+            s = Fq3S.from_packed(a)
+            assert int(s * s.inv()) == 1
+            # the generic Fermat exponent (MODULUS - 2) IS the inverse
+            assert int(pow(s, Q - 2, Q)) == int(s.inv())
+
+    def test_device_matches_scalar(self):
+        from sandstorm_tpu.fields.gl3 import GL3, Fq3S, Q
+        rng = random.Random(11)
+        xs = [rng.randrange(Q) for _ in range(33)] + [0, 1, Q - 1]
+        ys = [rng.randrange(Q) for _ in range(33)] + [Q - 1, 2, 1]
+        a, b = GL3.encode_ints(xs), GL3.encode_ints(ys)
+        assert GL3.decode_ints(GL3.mul(a, b)) == \
+            [self._oracle_mul(x, y) for x, y in zip(xs, ys)]
+        assert GL3.decode_ints(GL3.add(a, b)) == \
+            [int(Fq3S.from_packed(x) + Fq3S.from_packed(y))
+             for x, y in zip(xs, ys)]
+
+    def test_device_inv_batch_inv(self):
+        from sandstorm_tpu.fields.gl3 import GL3, Q
+        rng = random.Random(13)
+        xs = [rng.randrange(1, Q) for _ in range(16)]
+        a = GL3.encode_ints(xs)
+        prod = GL3.decode_ints(GL3.mul(a, GL3.inv(a)))
+        assert prod == [1] * len(xs)
+        prod = GL3.decode_ints(GL3.mul(a, GL3.batch_inv(a)))
+        assert prod == [1] * len(xs)
+
+    def test_base_embedding_and_hash_bytes(self):
+        from sandstorm_tpu.fields.gl3 import GL3, Fq3S
+        from sandstorm_tpu.fields.goldilocks import P
+        # ints < P embed as coordinate 0; negative ints are base-field
+        assert int(Fq3S(5) * Fq3S(-1)) == P - 5
+        assert GL3.s(P - 1) == Fq3S(P - 1)
+        v = 3 + 5 * P + 7 * P * P
+        assert GL3.to_hash_bytes_int(v) == (
+            (3).to_bytes(8, "little") + (5).to_bytes(8, "little")
+            + (7).to_bytes(8, "little"))
