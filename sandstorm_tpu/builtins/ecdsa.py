@@ -178,6 +178,25 @@ class InstanceTrace:
         t = _dummy_template()
         return dataclasses.replace(t, index=index)
 
+    @classmethod
+    def new_batch(cls, items):
+        """items: list of (index, pubkey_x, message, r, w).
+
+        Uses the native C++ batch generator (native/ecdsa.cpp: all
+        instances advance their EC chains in lockstep, one Montgomery
+        batch inversion per step) when available, falling back to the
+        per-instance python path.  Semantics parity with `new` is tested
+        differentially (tests/test_builtins.py)."""
+        if not items:
+            return []
+        try:
+            from .. import native
+            if not native.ecdsa_available():
+                raise OSError("native ecdsa unavailable")
+        except Exception:
+            return [cls.new(*it) for it in items]
+        return _new_batch_native(cls, items)
+
 
 def gen_dummy_instance():
     """Dummy signature with privkey = 1 (ecdsa/mod.rs:222-269)."""
@@ -206,4 +225,79 @@ def gen_dummy_instance():
 @functools.lru_cache(maxsize=1)
 def _dummy_template():
     pubkey_x, message, r, w = gen_dummy_instance()
-    return InstanceTrace.new(0, pubkey_x, message, r, w)
+    return InstanceTrace.new_batch([(0, pubkey_x, message, r, w)])[0]
+
+
+def _limbs_to_ints(a):
+    """[..., 4] little-endian u64 limb array -> object ndarray of ints."""
+    import numpy as np
+    o = np.asarray(a, dtype=np.uint64).astype(object)
+    return (o[..., 0] + (o[..., 1] << 64) + (o[..., 2] << 128)
+            + (o[..., 3] << 192))
+
+
+def _new_batch_native(cls, items):
+    from .. import native
+    k = len(items)
+    pubx = [it[1] for it in items]
+    msg = [it[2] for it in items]
+    rr = [it[3] for it in items]
+    ww = [it[4] for it in items]
+    ys = []
+    for x in pubx:
+        y = recover_y(x)
+        if y is None:
+            raise ValueError("pubkey_x not on the curve")
+        ys.append(y)
+    out, status = native.ecdsa_witness_batch(msg, rr, ww, pubx, ys)
+    # a wrong pubkey-y parity surfaces as a failed chain or an r mismatch:
+    # retry those instances with the mirrored y (verify() tries both,
+    # ecdsa/mod.rs:275-304)
+    retry = [i for i in range(k) if status[i] != 0]
+    if retry:
+        out2, status2 = native.ecdsa_witness_batch(
+            [msg[i] for i in retry], [rr[i] for i in retry],
+            [ww[i] for i in retry], [pubx[i] for i in retry],
+            [(-ys[i]) % P for i in retry])
+        for j, i in enumerate(retry):
+            assert status2[j] == 0, "signature is invalid"
+            out[i] = out2[j]
+            ys[i] = (-ys[i]) % P
+
+    traces = []
+    for i, (index, x, m, r, w) in enumerate(items):
+        ints = _limbs_to_ints(out[i])
+
+        def mad_steps(base, scalar):
+            block = ints[base:base + 1536].reshape(256, 6)
+            return [EcMadPartialStep(
+                partial_sum=(b[0], b[1]), fixed_point=(b[2], b[3]),
+                suffix=scalar >> step, slope=b[4], x_diff_inv=b[5])
+                for step, b in enumerate(block)]
+
+        def dbl_steps(base):
+            block = ints[base:base + 768].reshape(256, 3)
+            return [DoublingStep(point=(b[0], b[1]), slope=b[2])
+                    for b in block]
+
+        s = ints[6144:6160]
+        zg_steps = mad_steps(0, m)
+        rq_steps = mad_steps(1536, r)
+        wb_steps = mad_steps(3072, w)
+        # witness gen asserts the AIR will pass (mirrors `new`; the r
+        # extraction check ran natively — status 0 above)
+        assert (s[0], s[1]) == zg_steps[-1].partial_sum
+        assert (s[2], s[3]) == rq_steps[-1].partial_sum
+        assert (s[8], s[9]) == wb_steps[-1].partial_sum
+        traces.append(cls(
+            index=index, pubkey_x=x, message=m, r=r, w=w,
+            pubkey=(x, ys[i]),
+            pubkey_doubling_steps=dbl_steps(4608),
+            w_inv=s[13], r_inv=s[14],
+            r_point_slope=s[10], r_point_x_diff_inv=s[11],
+            message_inv=s[15],
+            b=(s[4], s[5]), b_slope=s[6], b_x_diff_inv=s[7],
+            b_doubling_steps=dbl_steps(5376),
+            zg_steps=zg_steps, rq_steps=rq_steps, wb_steps=wb_steps,
+        ))
+    return traces

@@ -336,10 +336,9 @@ class StarknetExecutionTrace:
                         for cell, v in d_specials.items()}
         e_pub = np.tile(_one_limb(dummy_e.pubkey[0]), (num_ecdsa, 1))
         e_msg = np.tile(_one_limb(dummy_e.message), (num_ecdsa, 1))
-        for idx, pubkey_x, msg, r, w in ecdsa_instances:
-            t = ecdsa_builtin.InstanceTrace.new(idx, pubkey_x, msg, r, w)
+        for t in ecdsa_builtin.InstanceTrace.new_batch(ecdsa_instances):
             arrs, specials, _ = ecdsa_window_arrays(t)
-            wi = idx
+            wi = t.index
             for (cell, step), arr in arrs.items():
                 k = ECDSA_STEP_ROWS // step
                 ecdsa_windows[(cell, step)][k * wi:k * (wi + 1)] = arr

@@ -118,3 +118,82 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+# -- ECDSA builtin witness batch (ecdsa.cpp) --------------------------------
+
+_ECDSA_SRC = os.path.join(_DIR, "ecdsa.cpp")
+_ECDSA_SO = os.path.join(_DIR, "build", "libsandstorm_ecdsa.so")
+ECDSA_OUT_FELTS = 6160  # per-instance output felts (layout in ecdsa.cpp)
+
+
+def _build_ecdsa():
+    os.makedirs(os.path.dirname(_ECDSA_SO), exist_ok=True)
+    hdr = os.path.join(_DIR, "fe252.h")
+    src_mtime = max(os.path.getmtime(_ECDSA_SRC), os.path.getmtime(hdr))
+    if os.path.exists(_ECDSA_SO) and os.path.getmtime(_ECDSA_SO) >= src_mtime:
+        return
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-march=native",
+         "-o", _ECDSA_SO, _ECDSA_SRC],
+        check=True, capture_output=True)
+
+
+@functools.lru_cache(maxsize=1)
+def _ecdsa_lib():
+    _build_ecdsa()
+    lib = ctypes.CDLL(_ECDSA_SO)
+    lib.ecdsa_set_params.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.ecdsa_witness_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_size_t]
+    lib.ecdsa_witness_batch.restype = ctypes.c_int
+    from ..builtins.curve import GENERATOR
+    from ..builtins.pedersen import shift_and_table_points
+    shift = shift_and_table_points()[0]
+    shift_xy = np.concatenate([_int_to_limbs(shift[0]),
+                               _int_to_limbs(shift[1])])
+    gen_xy = np.concatenate([_int_to_limbs(GENERATOR[0]),
+                             _int_to_limbs(GENERATOR[1])])
+    lib.ecdsa_set_params(
+        shift_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        gen_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return lib
+
+
+def ecdsa_witness_batch(msg, r, w, pubx, puby):
+    """Batched ECDSA builtin witness (see ecdsa.cpp for the layout).
+
+    Args are length-k lists of python ints.  Returns (out, status):
+    out [k, ECDSA_OUT_FELTS, 4] canonical LE u64 limbs, status [k] int32
+    (0 ok, 1 AIR-invalid mimic, 2 r mismatch, 3 degenerate point).
+    """
+    lib = _ecdsa_lib()
+    k = len(msg)
+
+    def pack(vals):
+        return np.ascontiguousarray(np.stack([_int_to_limbs(v)
+                                              for v in vals]))
+    m_a, r_a, w_a = pack(msg), pack(r), pack(w)
+    px_a, py_a = pack(pubx), pack(puby)
+    out = np.empty((k, ECDSA_OUT_FELTS, 4), dtype="<u8")
+    status = np.empty(k, dtype=np.int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.ecdsa_witness_batch(
+        m_a.ctypes.data_as(u64p), r_a.ctypes.data_as(u64p),
+        w_a.ctypes.data_as(u64p), px_a.ctypes.data_as(u64p),
+        py_a.ctypes.data_as(u64p), out.ctypes.data_as(u64p),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k)
+    assert rc == 0
+    return out, status
+
+
+def ecdsa_available() -> bool:
+    try:
+        _ecdsa_lib()
+        return True
+    except Exception:
+        return False

@@ -137,6 +137,29 @@ class TestEcdsa:
         assert ecdsa.verify(message, r, w, pubkey_x) is not None
         assert ecdsa.verify((message + 1) % curve.P, r, w, pubkey_x) is None
 
+    def test_native_batch_matches_python(self):
+        """Differential: the C++ batch witness generator (native/ecdsa.cpp)
+        must reproduce the python oracle field-for-field — every partial
+        sum, slope, x-diff inverse, doubling chain and scalar inverse."""
+        import dataclasses
+
+        from sandstorm_tpu import native
+        if not native.ecdsa_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        pubkey_x, message, r, w = ecdsa.gen_dummy_instance()
+        py = ecdsa.InstanceTrace.new(7, pubkey_x, message, r, w)
+        nat = ecdsa._new_batch_native(
+            ecdsa.InstanceTrace, [(7, pubkey_x, message, r, w)])[0]
+        assert py == nat
+        # both pubkey-y parities must recover (the retry path): the mirrored
+        # pubkey fails chain/r checks natively and flips back to y
+        assert nat.pubkey == py.pubkey
+        batch = ecdsa.InstanceTrace.new_batch(
+            [(i, pubkey_x, message, r, w) for i in range(3)])
+        for i, t in enumerate(batch):
+            assert t == dataclasses.replace(py, index=i)
+
 
 class TestEcOp:
     def test_dummy(self):
