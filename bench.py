@@ -41,7 +41,11 @@ def main():
         os.path.join(ref, "air-public-input.json"),
         os.path.join(ref, "air-private-input.json"))
 
-    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.RECURSIVE)
+    # the reference's product for the recursive layout is CairoVerifierClaim
+    # (FriendlyMerkleTree + Blake2s Cairo coin, /root/reference
+    # src/claims.rs:12-33) — bench proves under that scheme
+    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.RECURSIVE,
+                       scheme="cairo")
     options = ProofOptions()  # reference CLI defaults: 65/2/16/8/16
 
     # warm-up run: pays one-time XLA compilation (cached to disk)
@@ -49,8 +53,16 @@ def main():
     proof = claim.prove(witness, options)
     warm = time.time() - t0
 
+    # SANDSTORM_TPU_PROFILE=<dir> captures a jax.profiler (Perfetto/
+    # TensorBoard) trace of the measured run; SANDSTORM_TPU_TRACE_PHASES=1
+    # prints the per-phase wall-clock breakdown (stark/prover.py)
+    import contextlib
+    prof_dir = os.environ.get("SANDSTORM_TPU_PROFILE")
+    prof_ctx = (__import__("jax").profiler.trace(prof_dir)
+                if prof_dir else contextlib.nullcontext())
     t0 = time.time()
-    proof = claim.prove(witness, options)
+    with prof_ctx:
+        proof = claim.prove(witness, options)
     elapsed = time.time() - t0
 
     assert claim.verify(proof, required_security_bits=80)
@@ -64,6 +76,7 @@ def main():
         "detail": {
             "n_steps": pub.n_steps,
             "layout": "recursive",
+            "scheme": "cairo",
             "field": "fp252",
             "prove_s": round(elapsed, 3),
             "first_run_s": round(warm, 3),
