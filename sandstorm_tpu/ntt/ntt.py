@@ -150,6 +150,12 @@ def ntt(F, a, inverse: bool = False, local: bool = False):
         if mesh is not None and runtime.four_step_ok(n, mesh):
             from ..parallel.dist import dist_ntt
             return dist_ntt(F, mesh, runtime.shard0(a, mesh), inverse)
+        from .ntt_pallas import ntt_fourstep, pallas_ntt_ok
+        if pallas_ntt_ok(F, n):
+            # eager-only: inside traced contexts (local=True per-shard NTTs)
+            # the four-step driver's device-cached tables would be captured
+            # as HLO constants — the exact hazard _ntt_core's docstring bans
+            return ntt_fourstep(F, a, inverse)
     wpow = _wpow_table_dev(F, n, inverse)  # runtime arg, not constant
     a = jnp.take(a, jnp.asarray(_bitrev(n)), axis=0)
     return _ntt_core(F, a, wpow, inverse)

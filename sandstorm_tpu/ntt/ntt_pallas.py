@@ -1,0 +1,242 @@
+"""Pallas TPU NTT: VMEM-resident butterfly stages + four-step recursion.
+
+The scan-based NTT (ntt.py:_ntt_core) pays ~6 HBM round trips of the full
+[n, 16] array per butterfly stage (two gathers, the twiddle read, and the
+montmul kernel's in/out traffic) x log2(n) stages.  This module replaces it
+for Fp252 on TPU with the classic four-step (Bailey) decomposition, the
+same structure ministark-gpu uses to fit NTTs into Metal threadgroup
+memory (SURVEY.md §2.7 "FFT/LDE"):
+
+    n = R * C, input index j = r*C + c, output index k = k_c*R + k_r:
+      1. C column NTTs of length R        (VMEM-resident Pallas kernel)
+      2. elementwise twiddle by w_n^(r*c) (existing Pallas montmul)
+      3. transpose, R row NTTs of length C (same kernel, recursing if big)
+
+The leaf kernel keeps a [16, M, 128] digit-major block in VMEM and runs
+ALL log2(M) DIT stages on it before writing back: one HBM read + write for
+the whole transform instead of one per stage.  Butterflies use an explicit
+add/sub pair, halving the montmuls of the uniform-stage scan form.  The
+per-stage twiddle vectors ride along as a small [S, M/2, 16] input (big
+tables must be runtime args, never compile-time constants — see
+ntt.py:_ntt_core).
+
+Stage s (m = 2^s, half = m/2) pairs rows g*m + j and g*m + j + half:
+    t        = w_M^((M >> s) * j) * x[g*m + j + half]
+    out_top  = x[g*m + j] + t
+    out_bot  = x[g*m + j] - t
+which is the standard natural-output DIT network over bit-reversed input.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.fp252_pallas import (M16, NDIGITS, P_DIGITS, _field_add_tile,
+                                   _montmul_tile)
+
+# leaf transform cap: block [16, M, TB] u32 = M*8KB; M=256 keeps the
+# montmul's ~33 loose digit temporaries ([M/2, TB] each) well inside VMEM
+M_MAX = 256
+TB = 128
+
+
+def _field_sub_tile(a, b):
+    """Field subtract of two digit-register lists (both < p)."""
+    zero = jnp.zeros_like(a[0])
+    out = []
+    borrow = zero
+    for k in range(NDIGITS):
+        v = a[k] - b[k] - borrow
+        out.append(v & M16)
+        borrow = v >> 31  # digits < 2^16 so v > -2^17: sign bit = borrow
+    addp = []
+    carry = zero
+    for k in range(NDIGITS):
+        v = out[k] + np.uint32(P_DIGITS[k]) + carry
+        addp.append(v & M16)
+        carry = v >> 16
+    neg = borrow.astype(jnp.bool_)
+    return [jnp.where(neg, ap, o) for ap, o in zip(addp, out)]
+
+
+def _ntt_kernel(x_ref, tw_ref, o_ref):
+    """All log2(M) DIT stages on a [16, M, TB] digit-major VMEM block.
+
+    tw_ref: [S, M/2, 16] per-stage twiddle vectors (group-flattened: entry
+    i = g*half + j holds w_M^((M >> s) * j), Montgomery form).
+    """
+    M = x_ref.shape[1]
+    T = x_ref.shape[2]
+    S = tw_ref.shape[0]
+    x = [x_ref[d] for d in range(NDIGITS)]
+    for s in range(1, S + 1):
+        m = 1 << s
+        half = m >> 1
+        G = M // m
+        tw = [jnp.broadcast_to(tw_ref[s - 1, :, d].reshape(M // 2, 1),
+                               (M // 2, T))
+              for d in range(NDIGITS)]
+        top = [v.reshape(G, m, T)[:, :half].reshape(M // 2, T) for v in x]
+        bot = [v.reshape(G, m, T)[:, half:].reshape(M // 2, T) for v in x]
+        t = _montmul_tile(bot, tw)
+        nt = _field_add_tile(top, t)
+        nb = _field_sub_tile(top, t)
+        x = [jnp.concatenate(
+            [a.reshape(G, half, T), b.reshape(G, half, T)],
+            axis=1).reshape(M, T) for a, b in zip(nt, nb)]
+    for d in range(NDIGITS):
+        o_ref[d] = x[d]
+
+
+def _interpret() -> bool:
+    import os
+    if os.environ.get("SANDSTORM_TPU_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ntt_leaf_call(x_dm, tw, interpret=False):
+    """x_dm [16, M, B] (B % TB == 0), tw [S, M/2, 16] -> [16, M, B]."""
+    _, M, B = x_dm.shape
+    grid = (B // TB,)
+    return pl.pallas_call(
+        _ntt_kernel,
+        out_shape=jax.ShapeDtypeStruct((NDIGITS, M, B), x_dm.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NDIGITS, M, TB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NDIGITS, M, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_dm, tw)
+
+
+# -- twiddle tables (host-derived, device-cached) ---------------------------
+
+@functools.lru_cache(maxsize=None)
+def _wpow_ints(F, M: int, inverse: bool):
+    """numpy object array of w_M^0 .. w_M^(M-1) as python ints."""
+    w = F.root_of_unity_int(M)
+    if inverse:
+        w = pow(w, -1, F.BASE_MODULUS)
+    vals = np.empty(M, dtype=object)
+    x = 1
+    for i in range(M):
+        vals[i] = x
+        x = F.host_mul(x, w)
+    return vals
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables_np(F, M: int, inverse: bool):
+    """[S, M/2, 16] stage twiddle vectors (numpy, Montgomery encoded)."""
+    wp = _wpow_ints(F, M, inverse)
+    S = M.bit_length() - 1
+    out = np.empty((S, M // 2, NDIGITS), dtype=np.uint32)
+    for s in range(1, S + 1):
+        half = 1 << (s - 1)
+        stride = M >> s
+        pat = F.encode_ints_np([wp[stride * j] for j in range(half)])
+        out[s - 1] = np.tile(pat, (M // (2 * half), 1))
+    return out
+
+
+_DEV_CACHE = {}
+
+
+def _dev(key, build):
+    if key not in _DEV_CACHE:
+        # evict big same-kind tables of other transform sizes (bound HBM)
+        for k in list(_DEV_CACHE):
+            if (k[0], k[1]) == (key[0], key[1]) and k[2] != key[2] \
+                    and k[2] > (1 << 16):
+                del _DEV_CACHE[k]
+        _DEV_CACHE[key] = jnp.asarray(build())
+    return _DEV_CACHE[key]
+
+
+def _stage_tables_dev(F, M: int, inverse: bool):
+    return _dev(("stage", F.NAME, M, inverse),
+                lambda: _stage_tables_np(F, M, inverse))
+
+
+def _rc_twiddle_dev(F, M: int, R: int, inverse: bool):
+    """[R, C, 1, 16] table of w_M^(r*c) (Montgomery) for the four-step."""
+    def build():
+        C = M // R
+        wp = _wpow_ints(F, M, inverse)
+        exps = (np.outer(np.arange(R, dtype=np.int64),
+                         np.arange(C, dtype=np.int64)) % M).ravel()
+        flat = F.encode_ints_np(list(wp[exps]))
+        return flat.reshape(R, C, 1, NDIGITS)
+    return _dev(("rc", F.NAME, M, R, inverse), build)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_idx(M: int):
+    from .ntt import bit_reverse_perm
+    return bit_reverse_perm(M)
+
+
+# -- drivers -----------------------------------------------------------------
+
+def _ntt_leaf(F, x, inverse: bool):
+    """x [M, B, 16] natural order -> NTT over axis 0 (M <= M_MAX)."""
+    M, B = x.shape[0], x.shape[1]
+    x = jnp.take(x, jnp.asarray(_bitrev_idx(M)), axis=0)
+    x = x.transpose(2, 0, 1)  # [16, M, B]
+    Bp = -(-B // TB) * TB
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Bp - B)))
+    tw = _stage_tables_dev(F, M, inverse)
+    out = _ntt_leaf_call(x, tw, interpret=_interpret())
+    if Bp != B:
+        out = out[:, :, :B]
+    return out.transpose(1, 2, 0)  # [M, B, 16]
+
+
+def _batched_ntt_axis0(F, x, inverse: bool):
+    """NTT over axis 0 of [M, B, 16] (natural in / natural out)."""
+    M, B = x.shape[0], x.shape[1]
+    if M <= M_MAX:
+        return _ntt_leaf(F, x, inverse)
+    # balanced split keeps both factors' leaf transforms wide
+    R = min(M_MAX, 1 << ((M.bit_length() - 1 + 1) // 2))
+    C = M // R
+    x = x.reshape(R, C * B, NDIGITS)
+    x = _batched_ntt_axis0(F, x, inverse)          # [k_r, (c, B)]
+    x = x.reshape(R, C, B, NDIGITS)
+    x = F.mul(x, _rc_twiddle_dev(F, M, R, inverse))
+    x = x.transpose(1, 0, 2, 3).reshape(C, R * B, NDIGITS)
+    x = _batched_ntt_axis0(F, x, inverse)          # [k_c, (k_r, B)]
+    return x.reshape(C * R, B, NDIGITS)            # k = k_c*R + k_r
+
+
+def ntt_fourstep(F, a, inverse: bool = False):
+    """Drop-in replacement for ntt.py's single-device transform (Fp252).
+
+    a: [n, 16] natural order -> [n, 16] evaluations (or inverse incl. the
+    1/n scale)."""
+    n = a.shape[0]
+    out = _batched_ntt_axis0(F, a[:, None, :], inverse)[:, 0, :]
+    if inverse:
+        n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
+        out = F.mul(out, jnp.broadcast_to(n_inv, out.shape))
+    return out
+
+
+def pallas_ntt_ok(F, n: int) -> bool:
+    """The four-step path handles fp252 on TPU for transforms >= 4096."""
+    if getattr(F, "NAME", "") != "fp252" or n < 4096:
+        return False
+    from ..fields.fp252 import _use_pallas
+    return _use_pallas()

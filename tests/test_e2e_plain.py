@@ -92,6 +92,41 @@ def test_prove_verify_goldilocks_cubic_extension():
     assert all(v < Q for v in proof.execution_ood_evals)
 
 
+def test_recursive_layout_minimum_trace_diagnostic():
+    """A CPU-scale recursive-layout prove is structurally impossible: the
+    diluted-check pool must cover the full 16-bit range, and its padding
+    can only land in the free odd cells of bitwise windows (60 per 128
+    rows; recursive/trace.rs:557-592) — so traces below 2^17 rows cannot
+    balance the pool (the reference has the identical bound).  Recursive
+    proving is exercised end-to-end on the real 16384-step example by
+    bench.py / tools/check_air.py on TPU; here we pin the failure mode so
+    an undersized trace dies with the documented diagnostic, not a bogus
+    proof."""
+    from sandstorm_tpu.binary.formats import Segment
+    p = Fp252.MODULUS
+    words = [instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0]
+    vm = CairoVM(words, p)
+    trace, mem = vm.run(256, initial_ap=6, extra_memory={5: 0})
+    registers, memory = vm.to_witness_arrays(trace, mem)
+    pub = vm.build_public_input(trace, mem, layout=Layout.RECURSIVE)
+    n = 256 * 16
+    base = max(max(e.address for e in pub.public_memory) + 2,
+               int(registers.ap.max()) + 1)
+    ped_begin, rc_begin = base, base + 3 * (n // 2048)
+    bw_begin = rc_begin + n // 128
+    pub.memory_segments["pedersen"] = Segment(ped_begin, ped_begin)
+    pub.memory_segments["range_check"] = Segment(rc_begin, rc_begin)
+    pub.memory_segments["bitwise"] = Segment(bw_begin, bw_begin)
+    witness = CairoWitness(
+        air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
+        register_states=registers, memory=memory)
+    claim = CairoClaim(None, pub, field=Fp252, layout=Layout.RECURSIVE,
+                       scheme="cairo")
+    with pytest.raises(AssertionError, match="diluted padding overflow"):
+        claim.prove(witness, ProofOptions(num_queries=4,
+                                          proof_of_work_bits=4))
+
+
 @pytest.mark.parametrize("scheme", ["eth", "cairo"])
 def test_prove_verify_sharp_schemes(scheme):
     """Full prove+verify under the SHARP-targeting schemes: eth

@@ -71,3 +71,55 @@ def test_powers_and_poly_eval():
     z = rng.randrange(p)
     got = F.decode_ints(poly_eval(F, F.encode_ints(coeffs), F.encode_int(z)))[0]
     assert got == sum(c * pow(z, k, p) for k, c in enumerate(coeffs)) % p
+
+
+class _MockRef:
+    """Eager stand-in for a pallas VMEM Ref (CPU validation of the kernel
+    body without Mosaic — the real pallas_call path needs TPU hardware)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+        self.shape = arr.shape
+
+    def __getitem__(self, k):
+        return self.arr[k]
+
+    def __setitem__(self, k, v):
+        self.arr = self.arr.at[k].set(v)
+
+
+def test_pallas_fourstep_kernel_math():
+    """The VMEM-resident DIT butterfly kernel (ntt_pallas._ntt_kernel) and
+    the four-step driver reproduce the scan NTT bit-for-bit, forward and
+    inverse (the 1/n scale included), for fp252."""
+    import jax.numpy as jnp
+    import numpy as np
+    from sandstorm_tpu.fields.fp252 import Fp252 as F
+    from sandstorm_tpu.ntt import ntt_pallas as mod
+    from sandstorm_tpu.ntt.ntt import ntt as ntt_ref
+
+    def eager_leaf_call(x_dm, tw, interpret=False):
+        TB = mod.TB
+        outs = []
+        for i in range(x_dm.shape[2] // TB):
+            xi = _MockRef(x_dm[:, :, i * TB:(i + 1) * TB])
+            oi = _MockRef(jnp.zeros_like(xi.arr))
+            mod._ntt_kernel(xi, tw, oi)
+            outs.append(oi.arr)
+        return jnp.concatenate(outs, axis=2)
+
+    orig = mod._ntt_leaf_call
+    mod._ntt_leaf_call = eager_leaf_call
+    try:
+        rng = random.Random(3)
+        n = 512
+        vals = [rng.randrange(F.MODULUS) for _ in range(n)]
+        a = jnp.asarray(F.encode_ints_np(vals))
+        ref = np.asarray(ntt_ref(F, a, local=True))
+        got = np.asarray(mod._batched_ntt_axis0(F, a[:, None, :], False)[:, 0, :])
+        assert np.array_equal(ref, got)
+        refi = np.asarray(ntt_ref(F, a, inverse=True, local=True))
+        goti = np.asarray(mod.ntt_fourstep(F, a, inverse=True))
+        assert np.array_equal(refi, goti)
+    finally:
+        mod._ntt_leaf_call = orig
