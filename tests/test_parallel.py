@@ -106,3 +106,21 @@ def test_mesh_prove_e2e_fp252():
 
     single = claim.prove(witness, options)
     assert serialize_proof(proof) == serialize_proof(single)
+
+
+def test_multihost_single_process_semantics():
+    """The multi-host controller helpers degrade to single-process no-ops
+    (same calling code on 1 host and N hosts; SURVEY.md §2.8 right
+    column).  True multi-process wiring needs real pod metadata — here we
+    pin the local semantics: idempotent initialize, a global mesh over
+    every visible device, coordinator identity."""
+    import jax
+    from sandstorm_tpu.parallel import multihost
+
+    multihost.initialize()
+    multihost.initialize()  # idempotent
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert multihost.is_coordinator()
+    idx, count = multihost.process_grid()
+    assert (idx, count) == (0, 1)
