@@ -81,8 +81,59 @@ class InstanceTrace:
         t = _dummy_template()
         return dataclasses.replace(t, index=index)
 
+    @classmethod
+    def new_batch(cls, items):
+        """items: list of (index, p_x, p_y, q_x, q_y, m) -> InstanceTraces.
+
+        Native C++ lockstep batch (native/ecdsa.cpp ec_op_witness_batch)
+        with the python path as fallback; parity is tested differentially
+        (tests/test_builtins.py)."""
+        if not items:
+            return []
+        try:
+            from .. import native
+            if not native.ecdsa_available():
+                raise OSError("native ec_op unavailable")
+        except Exception:
+            return [cls.new(*it) for it in items]
+        return _new_batch_native(cls, items)
+
+
+def _new_batch_native(cls, items):
+    from .ecdsa import _limbs_to_ints
+    from .. import native
+    for _, p_x, p_y, q_x, q_y, _m in items:
+        assert is_on_curve((p_x, p_y)) and is_on_curve((q_x, q_y))
+    out, status = native.ec_op_witness_batch(
+        [it[1] for it in items], [it[2] for it in items],
+        [it[3] for it in items], [it[4] for it in items],
+        [it[5] for it in items])
+    traces = []
+    for i, (index, p_x, p_y, q_x, q_y, m) in enumerate(items):
+        assert status[i] == 0, "EC op would fail in the AIR"
+        ints = _limbs_to_ints(out[i])
+        mads = ints[0:1536].reshape(256, 6)
+        r_steps = [EcMadPartialStep(
+            partial_sum=(b[0], b[1]), fixed_point=(b[2], b[3]),
+            suffix=m >> step, slope=b[4], x_diff_inv=b[5])
+            for step, b in enumerate(mads)]
+        dbls = ints[1536:2304].reshape(256, 3)
+        q_doubling_steps = [DoublingStep(point=(b[0], b[1]), slope=b[2])
+                            for b in dbls]
+        r = (ints[2304], ints[2305])
+        assert r == r_steps[-1].partial_sum
+        b251, b196, b192 = (m >> 251) & 1, (m >> 196) & 1, (m >> 192) & 1
+        traces.append(cls(
+            index=index, p=(p_x, p_y), q=(q_x, q_y), m=m, r=r,
+            q_doubling_steps=q_doubling_steps, r_steps=r_steps,
+            m_bit251_and_bit196_and_bit192=bool(b251 and b196 and b192),
+            m_bit251_and_bit196=bool(b251 and b196),
+        ))
+    return traces
+
 
 @functools.lru_cache(maxsize=1)
 def _dummy_template():
     p0 = pedersen.shift_and_table_points()[0]
-    return InstanceTrace.new(0, p0[0], p0[1], GENERATOR[0], GENERATOR[1], 1)
+    return InstanceTrace.new_batch(
+        [(0, p0[0], p0[1], GENERATOR[0], GENERATOR[1], 1)])[0]

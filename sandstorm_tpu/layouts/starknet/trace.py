@@ -474,9 +474,8 @@ class StarknetExecutionTrace:
             ("px", dummy_o.p[0]), ("py", dummy_o.p[1]),
             ("qx", dummy_o.q[0]), ("qy", dummy_o.q[1]), ("m", dummy_o.m),
             ("rx", dummy_o.r[0]), ("ry", dummy_o.r[1]))}
-        for idx, p_x, p_y, q_x, q_y, m in ec_op_instances:
-            t = ec_op_builtin.InstanceTrace.new(idx, p_x, p_y, q_x, q_y, m)
-            wi = idx
+        for t in ec_op_builtin.InstanceTrace.new_batch(ec_op_instances):
+            wi = t.index
             for cell, arr in ec_op_window_arrays(t).items():
                 ec_op_cols[cell][256 * wi:256 * (wi + 1)] = arr
             o_bits192[wi, 0] = int(t.m_bit251_and_bit196_and_bit192)

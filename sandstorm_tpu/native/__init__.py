@@ -197,3 +197,35 @@ def ecdsa_available() -> bool:
         return True
     except Exception:
         return False
+
+
+EC_OP_OUT_FELTS = 2306  # per-instance output felts (layout in ecdsa.cpp)
+
+
+def ec_op_witness_batch(px, py, qx, qy, m):
+    """Batched EC-op builtin witness: r = p + m*q (see ecdsa.cpp).
+
+    Args are length-k lists of python ints.  Returns (out, status):
+    out [k, EC_OP_OUT_FELTS, 4] canonical LE u64 limbs, status [k] int32.
+    """
+    lib = _ecdsa_lib()
+    lib.ec_op_witness_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_size_t]
+    lib.ec_op_witness_batch.restype = ctypes.c_int
+    k = len(m)
+
+    def pack(vals):
+        return np.ascontiguousarray(np.stack([_int_to_limbs(v)
+                                              for v in vals]))
+    arrs = [pack(v) for v in (px, py, qx, qy, m)]
+    out = np.empty((k, EC_OP_OUT_FELTS, 4), dtype="<u8")
+    status = np.empty(k, dtype=np.int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.ec_op_witness_batch(
+        *[a.ctypes.data_as(u64p) for a in arrs], out.ctypes.data_as(u64p),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k)
+    assert rc == 0
+    return out, status

@@ -138,6 +138,26 @@ inline void store_fe(u64* dst, const Fe& mont) {
     dst[0] = c.v[0]; dst[1] = c.v[1]; dst[2] = c.v[2]; dst[3] = c.v[3];
 }
 
+// one doubling-chain step: record (x, y, slope), advance via precomputed
+// 1/(2y); flags a vertical tangent and freezes the chain
+inline void dbl_step_apply(DblChain& c, int step, const Fe& dbl_inv,
+                           int* status, size_t inst) {
+    u64* dst = c.out + (size_t)step * 3 * 4;
+    store_fe(dst + 0, c.point.x);
+    store_fe(dst + 4, c.point.y);
+    if (fe_is_zero(c.point.y)) {
+        status[inst] = 3;
+        static const Fe Z = {{0, 0, 0, 0}};
+        store_fe(dst + 8, Z);
+        return;
+    }
+    Fe slope;
+    Pt nxt;
+    ec_double_with_inv(c.point, dbl_inv, slope, nxt);
+    store_fe(dst + 8, slope);
+    c.point = nxt;
+}
+
 }  // namespace
 
 extern "C" {
@@ -232,20 +252,7 @@ int ecdsa_witness_batch(const u64* msg, const u64* r, const u64* w,
     };
     auto apply_dbl_step = [&](DblChain& c, int step, const Fe& dbl_inv,
                               size_t inst) {
-        u64* dst = c.out + (size_t)step * 3 * 4;
-        store_fe(dst + 0, c.point.x);
-        store_fe(dst + 4, c.point.y);
-        if (fe_is_zero(c.point.y)) {
-            status[inst] = 3;
-            static const Fe Z = {{0, 0, 0, 0}};
-            store_fe(dst + 8, Z);
-            return;
-        }
-        Fe slope;
-        Pt nxt;
-        ec_double_with_inv(c.point, dbl_inv, slope, nxt);
-        store_fe(dst + 8, slope);
-        c.point = nxt;
+        dbl_step_apply(c, step, dbl_inv, status, inst);
     };
 
     std::vector<Fe> dens(5 * k), xdiff_raw(2 * k);
@@ -355,6 +362,87 @@ int ecdsa_witness_batch(const u64* msg, const u64* r, const u64* w,
         bool match = rx.v[0] == r[i * 4] && rx.v[1] == r[i * 4 + 1]
                      && rx.v[2] == r[i * 4 + 2] && rx.v[3] == r[i * 4 + 3];
         if (!match && status[i] == 0) status[i] = 2;
+    }
+    return 0;
+}
+
+// Batched EC-op builtin witness: r = p + m*q (builtins/src/ec_op/mod.rs).
+// Reuses the ECDSA chain machinery; unlike ECDSA's 250-doubling generator
+// chain, the addend doubles on every one of the 256 steps.
+//
+// out layout per instance (canonical LE 4xu64 felts):
+//   [0,1536)     r mad steps: 256 x (px, py, qx, qy, slope, x_diff_inv)
+//   [1536,2304)  q doubling chain: 256 x (x, y, slope)
+//   [2304,2306)  singles: r_x, r_y
+int ec_op_witness_batch(const u64* px, const u64* py, const u64* qx,
+                        const u64* qy, const u64* m,
+                        u64* out, int* status, size_t k) {
+    const size_t OUT_FELTS = 2306;
+    std::vector<MadChain> mad(k);
+    std::vector<DblChain> qdbl(k);
+    for (size_t i = 0; i < k; ++i) {
+        status[i] = 0;
+        Pt p, q;
+        Fe t;
+        for (int j = 0; j < 4; ++j) t.v[j] = px[i * 4 + j];
+        fe_to_mont(t, p.x);
+        for (int j = 0; j < 4; ++j) t.v[j] = py[i * 4 + j];
+        fe_to_mont(t, p.y);
+        for (int j = 0; j < 4; ++j) t.v[j] = qx[i * 4 + j];
+        fe_to_mont(t, q.x);
+        for (int j = 0; j < 4; ++j) t.v[j] = qy[i * 4 + j];
+        fe_to_mont(t, q.y);
+        mad[i] = {p, q, m + i * 4, 256, out + i * OUT_FELTS * 4, false};
+        qdbl[i] = {q, out + (i * OUT_FELTS + 1536) * 4};
+    }
+    std::vector<Fe> dens(3 * k), xdiff_raw(k);
+    for (int step = 0; step < 256; ++step) {
+        for (size_t i = 0; i < k; ++i) {
+            fe_sub(mad[i].partial.x, mad[i].point.x, dens[3 * i + 0]);
+            fe_add(mad[i].point.y, mad[i].point.y, dens[3 * i + 1]);
+            fe_add(qdbl[i].point.y, qdbl[i].point.y, dens[3 * i + 2]);
+            xdiff_raw[i] = dens[3 * i + 0];
+        }
+        batch_inv(dens);
+        for (size_t i = 0; i < k; ++i) {
+            auto apply = [&](MadChain& c, const Fe& xdiff_den,
+                             const Fe& xdiff_inv, const Fe& dbl_inv) {
+                u64* dst = c.out + (size_t)step * 6 * 4;
+                store_fe(dst + 0, c.partial.x);
+                store_fe(dst + 4, c.partial.y);
+                store_fe(dst + 8, c.point.x);
+                store_fe(dst + 12, c.point.y);
+                store_fe(dst + 20, xdiff_inv);
+                int bit = scalar_bit(c.scalar, step);
+                if (fe_is_zero(xdiff_den)
+                        && scalar_tail_nonzero(c.scalar, step)) {
+                    c.failed = true;
+                    status[i] = 1;
+                }
+                if (bit) {
+                    Fe slope;
+                    Pt nxt;
+                    ec_add_with_inv(c.partial, c.point, xdiff_inv, slope,
+                                    nxt);
+                    store_fe(dst + 16, slope);
+                    c.partial = nxt;
+                } else {
+                    static const Fe Z = {{0, 0, 0, 0}};
+                    store_fe(dst + 16, Z);
+                }
+                Fe slope;
+                Pt nxt;
+                ec_double_with_inv(c.point, dbl_inv, slope, nxt);
+                c.point = nxt;
+            };
+            apply(mad[i], xdiff_raw[i], dens[3 * i + 0], dens[3 * i + 1]);
+            dbl_step_apply(qdbl[i], step, dens[3 * i + 2], status, i);
+        }
+    }
+    for (size_t i = 0; i < k; ++i) {
+        u64* singles = out + (i * OUT_FELTS + 2304) * 4;
+        store_fe(singles + 0, mad[i].partial.x);
+        store_fe(singles + 4, mad[i].partial.y);
     }
     return 0;
 }

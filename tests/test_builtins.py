@@ -176,3 +176,24 @@ class TestEcOp:
         m = 13
         t = ec_op.InstanceTrace.new(0, p[0], p[1], q[0], q[1], m)
         assert t.r == curve.ec_add(p, curve.ec_mul(m, q))
+
+    def test_native_batch_matches_python(self):
+        """Differential: native ec_op_witness_batch == python oracle."""
+        import dataclasses
+
+        from sandstorm_tpu import native
+        if not native.ecdsa_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        g = curve.GENERATOR
+        p = curve.ec_mul(5, g)
+        q = curve.ec_mul(9, g)
+        m = (1 << 251) | (1 << 196) | (1 << 192) | 0xDEADBEEF
+        py = ec_op.InstanceTrace.new(2, p[0], p[1], q[0], q[1], m)
+        nat = ec_op._new_batch_native(
+            ec_op.InstanceTrace, [(2, p[0], p[1], q[0], q[1], m)])[0]
+        assert py == nat
+        batch = ec_op.InstanceTrace.new_batch(
+            [(i, p[0], p[1], q[0], q[1], m) for i in range(3)])
+        for i, t in enumerate(batch):
+            assert t == dataclasses.replace(py, index=i)
