@@ -67,6 +67,29 @@ def _verify_merkle_view(scheme, F, root: bytes, num_leaves: int, index: int,
            f"{label}: root mismatch")
 
 
+def _host_batch_inv(F, vals, p):
+    """Montgomery-trick inversion of host field values; 0 -> 0.
+
+    Works for base fields (python ints, `pow(v, p-2, p)`) and extension
+    scalars (Fq3S intercepts `%` and `pow`; MODULUS-2 is the field's
+    Fermat exponent either way)."""
+    one = F.s(1)
+    pref = []
+    acc = one
+    for v in vals:
+        pref.append(acc)
+        if v != 0:
+            acc = acc * v % p
+    inv = pow(acc, p - 2, p)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i] == 0:
+            continue
+        out[i] = pref[i] * inv % p
+        inv = inv * vals[i] % p
+    return out
+
+
 def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
                required_security_bits: int = 0, transcript=None,
                trace=lambda m: None) -> bool:
@@ -220,18 +243,24 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
                 row, f"FRI layer {li}, leaf {leaf}")
     trace("FRI Merkle decommitments OK")
 
+    # all DEEP denominators across every query share ONE Fermat inversion
+    # (Montgomery batch trick; the reference batch-inverts per column,
+    # layouts' build_extension_columns do the same on the prover side)
+    xs = [coset * pow(w_N, bitrev_int(idx, kN), pb) % pb for idx in indices]
+    all_dens = [[(x - pt) % p for pt in points] + [(x - z_m) % p]
+                for x in xs]
+    all_invs = _host_batch_inv(F, [d for row in all_dens for d in row], p)
+    K1 = len(points) + 1
+
     for pos, idx in enumerate(indices):
-        x = coset * pow(w_N, bitrev_int(idx, kN), pb) % pb
+        x = xs[pos]
 
         def col_val(col):
             return (base_rows[pos][col] if col < num_base
                     else ext_rows[pos][col - num_base])
 
-        # per-point denominator inverses, shared across the trace args
-        # (pow with exponent MODULUS-2 is the field's Fermat inverse —
-        # for extensions MODULUS is the full field order)
-        pt_inv = [pow((x - pt) % p, p - 2, p) for pt in points]
-        zm_inv = pow((x - z_m) % p, p - 2, p)
+        pt_inv = all_invs[pos * K1:(pos + 1) * K1 - 1]
+        zm_inv = all_invs[(pos + 1) * K1 - 1]
         deep_val = F.s(0)
         coeff = F.s(1)
         for j, (col, off) in enumerate(targs):
