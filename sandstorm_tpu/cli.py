@@ -30,7 +30,12 @@ def _field_for_prime(prime: int):
     if prime == Fp252.MODULUS:
         return Fp252
     if prime == GL.MODULUS:
-        return GL
+        # the reference's Goldilocks dispatch draws challenges from the
+        # CUBIC extension (`Fq3: StarkExtensionOf<Fp>`, main.rs:104-110);
+        # trace columns stay base-field, transcript/OODS/DEEP run in
+        # GF(p^3) (fields/gl3.py)
+        from .fields.gl3 import GL3
+        return GL3
     raise SystemExit(f"unsupported field prime: {hex(prime)}")
 
 

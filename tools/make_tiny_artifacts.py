@@ -2,7 +2,11 @@
 JSON / AIR input JSONs) from the built-in mini VM, for driving the CLI
 end-to-end without a cairo-lang toolchain.
 
-Usage: python tools/make_tiny_artifacts.py OUTDIR [num_cycles]
+Usage: python tools/make_tiny_artifacts.py OUTDIR [num_cycles] [field]
+
+field: fp252 (default) or goldilocks — the goldilocks bundle exercises the
+reference's experimental fast-field dispatch (8-byte memory values,
+Fq3-extension challenges via cli._field_for_prime).
 """
 
 import json
@@ -21,8 +25,14 @@ from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,  # noqa: E402
 def main():
     outdir = sys.argv[1]
     num_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    field = sys.argv[3] if len(sys.argv) > 3 else "fp252"
     os.makedirs(outdir, exist_ok=True)
-    p = Fp252.MODULUS
+    if field == "goldilocks":
+        from sandstorm_tpu.fields.goldilocks import GL
+        p = GL.MODULUS
+    else:
+        p = Fp252.MODULUS
+    field_bytes = 32 if p.bit_length() > 64 else 8
 
     words = [instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0]
     vm = CairoVM(words, p)
@@ -35,7 +45,7 @@ def main():
     with open(os.path.join(outdir, "memory.bin"), "wb") as f:
         for addr in sorted(mem):
             f.write(struct.pack("<Q", addr))
-            f.write(int(mem[addr]).to_bytes(32, "little"))
+            f.write(int(mem[addr]).to_bytes(field_bytes, "little"))
     with open(os.path.join(outdir, "program.json"), "w") as f:
         json.dump({"data": [hex(w) for w in words], "prime": hex(p)}, f)
     with open(os.path.join(outdir, "air-public-input.json"), "w") as f:
