@@ -133,10 +133,66 @@ class InstanceTrace:
     def new_dummy(cls, index: int) -> "InstanceTrace":
         return dummy_instance_trace(index)
 
+    @classmethod
+    def new_batch(cls, items):
+        """items: list of (index, a, b) -> InstanceTraces.
+
+        Native C++ lockstep batch (native/ecdsa.cpp
+        pedersen_witness_batch) with the python path as fallback; parity
+        tested differentially (tests/test_builtins.py)."""
+        if not items:
+            return []
+        try:
+            from .. import native
+            if not native.ecdsa_available():
+                raise OSError("native pedersen witness unavailable")
+            native._pedersen_witness_lib()
+        except Exception:
+            return [cls.new(*it) for it in items]
+        return _new_batch_native(cls, items)
+
+
+def _new_batch_native(cls, items):
+    from .ecdsa import _limbs_to_ints
+    from .. import native
+    out, status = native.pedersen_witness_batch(
+        [it[1] for it in items], [it[2] for it in items])
+
+    def bits(x):
+        return (x >> 251) & 1, (x >> 196) & 1, (x >> 192) & 1
+
+    traces = []
+    for i, (index, a, b) in enumerate(items):
+        assert status[i] == 0, "pedersen input would fail in the AIR"
+        ints = _limbs_to_ints(out[i])
+
+        def steps(base, x):
+            block = ints[base:base + 768].reshape(256, 3)
+            return [ElementPartialStep(point=(r[0], r[1]), suffix=x >> s,
+                                       slope=r[2])
+                    for s, r in enumerate(block)]
+
+        a_steps = steps(0, a)
+        b_steps = steps(768, b)
+        output = ints[1536]
+        # witness-gen asserts the AIR will pass (mirrors `new`)
+        assert b_steps[-1].point[0] == output if (b >> 255) == 0 else True
+        a251, a196, a192 = bits(a)
+        b251, b196, b192 = bits(b)
+        traces.append(cls(
+            index=index, a=a, b=b, output=output,
+            a_steps=a_steps, b_steps=b_steps,
+            a_bit251_and_bit196_and_bit192=bool(a251 and a196 and a192),
+            a_bit251_and_bit196=bool(a251 and a196),
+            b_bit251_and_bit196_and_bit192=bool(b251 and b196 and b192),
+            b_bit251_and_bit196=bool(b251 and b196),
+        ))
+    return traces
+
 
 @functools.lru_cache(maxsize=1)
 def _dummy_template():
-    return InstanceTrace.new(0, 0, 0)
+    return InstanceTrace.new_batch([(0, 0, 0)])[0]
 
 
 def dummy_instance_trace(index: int) -> InstanceTrace:

@@ -209,12 +209,11 @@ class RecursiveExecutionTrace:
                           (num_ped_windows, 1))
         bits196 = np.zeros((2 * num_ped_windows, 4), dtype=np.uint64)
         bits192 = np.zeros((2 * num_ped_windows, 4), dtype=np.uint64)
-        for idx, a, b in ped_instances:
-            t = pedersen_builtin.InstanceTrace.new(idx, a, b)
-            w = idx
+        for t in pedersen_builtin.InstanceTrace.new_batch(ped_instances):
+            w = idx = t.index
             psx[w], psy[w], suf[w], slo[w] = _pedersen_window_arrays(t)
-            ped_a[w] = _ints_to_u64limbs([a])[0]
-            ped_b[w] = _ints_to_u64limbs([b])[0]
+            ped_a[w] = _ints_to_u64limbs([t.a])[0]
+            ped_b[w] = _ints_to_u64limbs([t.b])[0]
             ped_out[w] = _ints_to_u64limbs([t.output])[0]
             bits196[2 * w, 0] = t.a_bit251_and_bit196
             bits196[2 * w + 1, 0] = t.b_bit251_and_bit196

@@ -245,13 +245,12 @@ class StarknetExecutionTrace:
         ped_out = np.tile(_one_limb(dummy.output), (num_ped, 1))
         bits196 = np.zeros((2 * num_ped, 4), dtype=np.uint64)
         bits192 = np.zeros((2 * num_ped, 4), dtype=np.uint64)
-        for idx, a, b in ped_instances:
-            t = pedersen_builtin.InstanceTrace.new(idx, a, b)
-            w = idx
+        for t in pedersen_builtin.InstanceTrace.new_batch(ped_instances):
+            w = t.index
             (psx_col[512 * w:512 * (w + 1)], psy_col[512 * w:512 * (w + 1)],
              suf_col[512 * w:512 * (w + 1)],
              slo_col[512 * w:512 * (w + 1)]) = _pedersen_columns(t)
-            ped_a[w], ped_b[w] = _one_limb(a), _one_limb(b)
+            ped_a[w], ped_b[w] = _one_limb(t.a), _one_limb(t.b)
             ped_out[w] = _one_limb(t.output)
             bits196[2 * w, 0] = t.a_bit251_and_bit196
             bits196[2 * w + 1, 0] = t.b_bit251_and_bit196

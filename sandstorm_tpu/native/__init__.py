@@ -199,6 +199,54 @@ def ecdsa_available() -> bool:
         return False
 
 
+PEDERSEN_WITNESS_OUT_FELTS = 1538  # per-instance felts (layout in ecdsa.cpp)
+
+
+@functools.lru_cache(maxsize=1)
+def _pedersen_witness_lib():
+    """The ecdsa lib with the pedersen doubling chains loaded."""
+    lib = _ecdsa_lib()
+    lib.pedersen_set_chains.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.pedersen_witness_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_size_t]
+    lib.pedersen_witness_batch.restype = ctypes.c_int
+    from ..builtins.pedersen import _chain
+    chains = []
+    for which in range(2):
+        pts = _chain(which)
+        arr = np.empty((252, 8), dtype="<u8")
+        for i, (x, y) in enumerate(pts):
+            arr[i, :4] = _int_to_limbs(x)
+            arr[i, 4:] = _int_to_limbs(y)
+        chains.append(np.ascontiguousarray(arr.reshape(-1)))
+    lib.pedersen_set_chains(
+        chains[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        chains[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return lib
+
+
+def pedersen_witness_batch(a_vals, b_vals):
+    """Batched pedersen builtin witness (layout in ecdsa.cpp).
+
+    Returns (out [k, PEDERSEN_WITNESS_OUT_FELTS, 4], status [k])."""
+    lib = _pedersen_witness_lib()
+    k = len(a_vals)
+    a = np.ascontiguousarray(np.stack([_int_to_limbs(v) for v in a_vals]))
+    b = np.ascontiguousarray(np.stack([_int_to_limbs(v) for v in b_vals]))
+    out = np.empty((k, PEDERSEN_WITNESS_OUT_FELTS, 4), dtype="<u8")
+    status = np.empty(k, dtype=np.int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pedersen_witness_batch(
+        a.ctypes.data_as(u64p), b.ctypes.data_as(u64p),
+        out.ctypes.data_as(u64p),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k)
+    assert rc == 0
+    return out, status
+
+
 EC_OP_OUT_FELTS = 2306  # per-instance output felts (layout in ecdsa.cpp)
 
 

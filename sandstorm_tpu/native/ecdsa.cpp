@@ -366,6 +366,95 @@ int ecdsa_witness_batch(const u64* msg, const u64* r, const u64* w,
     return 0;
 }
 
+// Batched Pedersen builtin witness (builtins/src/pedersen/mod.rs:63-176):
+// two 256-step EC subset-sums per instance over FIXED doubling chains
+// (P1/P2 for element a, P3/P4 for b) — the chains are shared across all
+// instances, so the per-step state is just each instance's partial sum,
+// and the conditional-add slopes amortize through one batch inversion
+// per step like the other builtins.
+//
+// out layout per instance (canonical LE 4xu64 felts):
+//   [0,768)      a steps: 256 x (px, py, slope)
+//   [768,1536)   b steps: 256 x (px, py, slope)
+//   [1536,1538)  singles: out_x, out_y (the final partial sum)
+// status: 0 ok; 1 AIR-invalid (x-collision on a set bit, or a set bit
+// beyond the 252-point chain).
+
+static Pt g_chain[2][252];
+static bool g_chains_ready = false;
+
+extern "C" void pedersen_set_chains(const u64* c0_xy, const u64* c1_xy) {
+    const u64* srcs[2] = {c0_xy, c1_xy};
+    for (int w = 0; w < 2; ++w) {
+        for (int i = 0; i < 252; ++i) {
+            Fe t;
+            for (int j = 0; j < 4; ++j) t.v[j] = srcs[w][i * 8 + j];
+            fe_to_mont(t, g_chain[w][i].x);
+            for (int j = 0; j < 4; ++j) t.v[j] = srcs[w][i * 8 + 4 + j];
+            fe_to_mont(t, g_chain[w][i].y);
+        }
+    }
+    g_chains_ready = true;
+}
+
+namespace {
+
+// one subset-sum phase (element `which`) for all instances in lockstep
+void pedersen_element_phase(std::vector<Pt>& partial, const u64* scalars,
+                            int which, u64* out, size_t out_stride,
+                            int* status, size_t k) {
+    std::vector<Fe> dens(k), raw(k);
+    for (int step = 0; step < 256; ++step) {
+        const Pt& cp = g_chain[which][step < 252 ? step : 251];
+        for (size_t i = 0; i < k; ++i) {
+            fe_sub(partial[i].x, cp.x, dens[i]);
+            raw[i] = dens[i];
+        }
+        batch_inv(dens);
+        for (size_t i = 0; i < k; ++i) {
+            u64* dst = out + i * out_stride * 4 + (size_t)step * 3 * 4;
+            store_fe(dst + 0, partial[i].x);
+            store_fe(dst + 4, partial[i].y);
+            int bit = scalar_bit(scalars + i * 4, step);
+            if (bit && (step >= 252 || fe_is_zero(raw[i]))) {
+                status[i] = 1;
+                static const Fe Z = {{0, 0, 0, 0}};
+                store_fe(dst + 8, Z);
+                continue;
+            }
+            if (bit) {
+                Fe slope;
+                Pt nxt;
+                ec_add_with_inv(partial[i], cp, dens[i], slope, nxt);
+                store_fe(dst + 8, slope);
+                partial[i] = nxt;
+            } else {
+                static const Fe Z = {{0, 0, 0, 0}};
+                store_fe(dst + 8, Z);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" int pedersen_witness_batch(const u64* a, const u64* b,
+                                      u64* out, int* status, size_t k) {
+    if (!g_params_ready || !g_chains_ready) return -1;
+    const size_t OUT_FELTS = 1538;
+    std::vector<Pt> partial(k, g_shift);
+    for (size_t i = 0; i < k; ++i) status[i] = 0;
+    pedersen_element_phase(partial, a, 0, out, OUT_FELTS, status, k);
+    pedersen_element_phase(partial, b, 1, out + 768 * 4, OUT_FELTS,
+                           status, k);
+    for (size_t i = 0; i < k; ++i) {
+        u64* singles = out + (i * OUT_FELTS + 1536) * 4;
+        store_fe(singles + 0, partial[i].x);
+        store_fe(singles + 4, partial[i].y);
+    }
+    return 0;
+}
+
 // Batched EC-op builtin witness: r = p + m*q (builtins/src/ec_op/mod.rs).
 // Reuses the ECDSA chain machinery; unlike ECDSA's 250-doubling generator
 // chain, the addend doubles on every one of the 256 steps.

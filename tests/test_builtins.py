@@ -42,6 +42,27 @@ class TestPedersen:
         expected = 2962565761002374879415469392216379291665599807391815720833106117558254791559
         assert pedersen.pedersen_hash(a, b) == expected
 
+    def test_native_witness_batch_matches_python(self):
+        """Differential: native pedersen_witness_batch == python oracle
+        on a starkex vector (every partial point, suffix, slope, flags)."""
+        import dataclasses
+
+        from sandstorm_tpu import native
+        if not native.ecdsa_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        a = 1740729136829561885683894917751815192814966525555656371386868611731128807883
+        b = 919869093895560023824014392670608914007817594969197822578496829435657368346
+        py = pedersen.InstanceTrace.new(4, a, b)
+        nat = pedersen._new_batch_native(
+            pedersen.InstanceTrace, [(4, a, b)])[0]
+        assert py == nat
+        batch = pedersen.InstanceTrace.new_batch(
+            [(i, a, b) for i in range(3)] + [(3, 0, 0)])
+        for i, t in enumerate(batch[:3]):
+            assert t == dataclasses.replace(py, index=i)
+        assert batch[3] == pedersen.InstanceTrace.new(3, 0, 0)
+
     def test_instance_trace(self):
         rng = random.Random(3)
         a = rng.randrange(1 << 250)
