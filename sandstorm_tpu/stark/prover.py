@@ -69,6 +69,42 @@ def _lde_and_coeffs(F, column, blowup, coset):
     return coeffs, lde
 
 
+def _lde_and_coeffs_batched(F, cols: dict, blowup, coset):
+    """All columns through ONE batched transform each way (the Pallas
+    four-step NTT's batch axis carries the column set: ~C x fewer
+    dispatches and full leaf-lane occupancy)."""
+    from ..ntt.ntt_pallas import _batched_ntt_axis0
+    keys = sorted(cols)
+    n = cols[keys[0]].shape[0]
+    N = n * blowup
+    x = jnp.stack([cols[i] for i in keys], axis=1)  # [n, C, L]
+    coeffs = _batched_ntt_axis0(F, x, True)
+    n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
+    coeffs = F.mul(coeffs, jnp.broadcast_to(n_inv, coeffs.shape))
+    scaled = F.mul(coeffs, powers_host(F, coset, n)[:, None, :])
+    scaled = jnp.concatenate(
+        [scaled, jnp.zeros((N - n,) + scaled.shape[1:], dtype=scaled.dtype)],
+        axis=0)
+    ldes = _batched_ntt_axis0(F, scaled, False)
+    return ({i: coeffs[:, k, :] for k, i in enumerate(keys)},
+            {i: ldes[:, k, :] for k, i in enumerate(keys)})
+
+
+def _lde_and_coeffs_multi(F, cols: dict, blowup, coset):
+    """Dispatch: batched single-chip Pallas path, else per-column."""
+    from ..parallel import runtime
+    from ..ntt.ntt_pallas import pallas_ntt_ok
+    keys = sorted(cols)
+    n = cols[keys[0]].shape[0] if keys else 0
+    if (runtime.active_mesh() is None and len(keys) > 1
+            and pallas_ntt_ok(F, n) and pallas_ntt_ok(F, n * blowup)):
+        return _lde_and_coeffs_batched(F, cols, blowup, coset)
+    out_c, out_l = {}, {}
+    for i in keys:
+        out_c[i], out_l[i] = _lde_and_coeffs(F, cols[i], blowup, coset)
+    return out_c, out_l
+
+
 
 
 class _DomainCache:
@@ -135,9 +171,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
 
     # -- 1/2: base trace commit -------------------------------------------
     base_cols = trace.base_columns()
-    base_coeffs, base_lde = {}, {}
-    for i, col in base_cols.items():
-        base_coeffs[i], base_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
+    base_coeffs, base_lde = _lde_and_coeffs_multi(F, base_cols, blowup,
+                                                  coset)
     log("base columns interpolated + extended")
     base_tree = commit_bitrev([base_lde[i] for i in sorted(base_lde)])
     coin.reseed_with_digest(base_tree.root)
@@ -146,9 +181,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     # -- 3: challenges + extension columns --------------------------------
     challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
     ext_cols = trace.build_extension_columns(challenges)
-    ext_coeffs, ext_lde = {}, {}
-    for i, col in ext_cols.items():
-        ext_coeffs[i], ext_lde[i] = _lde_and_coeffs(F, col, blowup, coset)
+    ext_coeffs, ext_lde = _lde_and_coeffs_multi(F, ext_cols, blowup, coset)
     ext_tree = commit_bitrev([ext_lde[i] for i in sorted(ext_lde)])
     coin.reseed_with_digest(ext_tree.root)
     # the committed LDEs + coefficient arrays supersede the raw trace

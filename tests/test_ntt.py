@@ -123,3 +123,40 @@ def test_pallas_fourstep_kernel_math():
         assert np.array_equal(refi, goti)
     finally:
         mod._ntt_leaf_call = orig
+
+
+def test_batched_lde_matches_per_column():
+    """The prover's batched multi-column LDE (one four-step transform for
+    the whole column set) must equal per-column intt+coset_lde."""
+    import jax.numpy as jnp
+    import numpy as np
+    from sandstorm_tpu.fields.fp252 import Fp252 as F
+    from sandstorm_tpu.ntt import ntt_pallas as mod
+    from sandstorm_tpu.stark.prover import (_lde_and_coeffs,
+                                            _lde_and_coeffs_batched)
+
+    def eager_leaf_call(x_dm, tw, interpret=False):
+        TB = mod.TB
+        outs = []
+        for i in range(x_dm.shape[2] // TB):
+            xi = _MockRef(x_dm[:, :, i * TB:(i + 1) * TB])
+            oi = _MockRef(jnp.zeros_like(xi.arr))
+            mod._ntt_kernel(xi, tw, oi)
+            outs.append(oi.arr)
+        return jnp.concatenate(outs, axis=2)
+
+    orig = mod._ntt_leaf_call
+    mod._ntt_leaf_call = eager_leaf_call
+    try:
+        rng = random.Random(5)
+        n, blowup, coset = 256, 2, F.GENERATOR
+        cols = {i: jnp.asarray(F.encode_ints_np(
+            [rng.randrange(F.MODULUS) for _ in range(n)]))
+            for i in range(3)}
+        bc, bl = _lde_and_coeffs_batched(F, cols, blowup, coset)
+        for i in cols:
+            rc, rl = _lde_and_coeffs(F, cols[i], blowup, coset)
+            assert np.array_equal(np.asarray(rc), np.asarray(bc[i]))
+            assert np.array_equal(np.asarray(rl), np.asarray(bl[i]))
+    finally:
+        mod._ntt_leaf_call = orig
