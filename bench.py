@@ -33,6 +33,7 @@ def main():
     from sandstorm_tpu.claims import CairoClaim
     from sandstorm_tpu.examples import load_artifacts
     from sandstorm_tpu.fields.fp252 import Fp252
+    from sandstorm_tpu.stark.ark import serialize_proof
     from sandstorm_tpu.stark.options import ProofOptions
 
     ref = "/root/reference/example"
@@ -80,7 +81,7 @@ def main():
             "field": "fp252",
             "prove_s": round(elapsed, 3),
             "first_run_s": round(warm, 3),
-            "proof_bytes": proof.size_bytes(),
+            "proof_bytes": len(serialize_proof(proof)),
             "backend": __import__("jax").default_backend(),
         },
     }))

@@ -24,6 +24,7 @@ from .fields.fp252 import Fp252
 from .fields.goldilocks import GL
 from .stark.options import ProofOptions
 from .stark.ark import parse_proof, serialize_proof
+from .stark.verifier import VerificationError
 
 
 def _field_for_prime(prime: int):
@@ -103,10 +104,15 @@ def main(argv=None):
         layout = Layout(args.layout) if args.layout else pub.layout
         claim = CairoClaim(program, pub, field=F, layout=layout,
                            scheme=args.scheme)
-        with open(args.proof, "rb") as f:
-            proof = parse_proof(f.read())
         now = time.time()
-        claim.verify(proof, args.required_security_bits)
+        try:
+            with open(args.proof, "rb") as f:
+                proof = parse_proof(f.read(), modulus=F.MODULUS)
+            claim.verify(proof, args.required_security_bits)
+        except (AssertionError, VerificationError) as e:
+            # malformed bytes (parse asserts) and protocol defects both
+            # surface as a clean rejection, mirroring `sandstorm verify`
+            raise SystemExit(f"proof rejected: {e}")
         print(f"proof verified in {time.time() - now:.2f}s")
         return 0
 

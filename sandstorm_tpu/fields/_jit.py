@@ -27,3 +27,24 @@ def jit_fn(fn=None, *, static_argnums=()):
     if fn is None:
         return functools.partial(jit_fn, static_argnums=static_argnums)
     return jax.jit(fn, static_argnums=static_argnums)
+
+
+def fuse_unless_unsafe(fn):
+    """Wrap fn(F, ...) so fields with XLA_FUSE_SAFE=False skip whole-graph
+    fusion.
+
+    Extension fields (fields/gl3.py) inline many multi-coordinate muls per
+    op; fusing a whole pipeline stage over them sends XLA:CPU optimization
+    time unbounded.  Safe fields get one fused jitted graph (F static);
+    unsafe ones run the raw python, whose individually-jitted field ops
+    dispatch as small cached kernels.
+    """
+    fused = jax.jit(fn, static_argnums=(0,))
+
+    @functools.wraps(fn)
+    def dispatch(F, *args):
+        if getattr(F, "XLA_FUSE_SAFE", True):
+            return fused(F, *args)
+        return fn(F, *args)
+
+    return dispatch

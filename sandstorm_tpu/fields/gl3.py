@@ -192,16 +192,27 @@ class GL3:
         return jnp.broadcast_to(cls.encode_int(1), tuple(shape) + (6,))
 
     @staticmethod
+    def _canon(x) -> int:
+        """Packed canonical int of a host value; negative ints carry
+        base-field (mod p) semantics, exactly like `s` — keeping the
+        device and host encodings of e.g. Constant(-1) consistent."""
+        if isinstance(x, Fq3S):
+            return pack(*x.c)
+        x = int(x)
+        if x < 0:
+            return pack(x % P, 0, 0)
+        return x % Q
+
+    @staticmethod
     def encode_int(x):
-        c = unpack(int(x) % Q)
-        return jnp.asarray(GL3.encode_ints_np([pack(*c)])[0])
+        return jnp.asarray(GL3.encode_ints_np([x])[0])
 
     @staticmethod
     def encode_ints_np(xs):
-        out = np.empty((len(list(xs)) if not hasattr(xs, "__len__") else
-                        len(xs), 6), dtype=np.uint32)
+        xs = list(xs)
+        out = np.empty((len(xs), 6), dtype=np.uint32)
         for i, x in enumerate(xs):
-            c0, c1, c2 = unpack(int(x) % Q)
+            c0, c1, c2 = unpack(GL3._canon(x))
             out[i, 0], out[i, 1] = c0 & 0xFFFFFFFF, c0 >> 32
             out[i, 2], out[i, 3] = c1 & 0xFFFFFFFF, c1 >> 32
             out[i, 4], out[i, 5] = c2 & 0xFFFFFFFF, c2 >> 32

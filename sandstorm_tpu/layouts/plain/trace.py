@@ -237,16 +237,6 @@ def _build_permutation_column(F, npc_dev, mem_dev, rc_dev, z, alpha, z_rc):
     return perm
 
 
-_build_permutation_column_fused = jax.jit(
-    _build_permutation_column, static_argnums=(0,))
-_build_permutation_column_raw = _build_permutation_column
+from ...fields._jit import fuse_unless_unsafe  # noqa: E402
 
-
-def _build_permutation_column(F, *args):
-    # extension fields opt out of whole-builder fusion: inlining their
-    # multi-coordinate muls through the scan/inversion chain sends XLA:CPU
-    # optimization time unbounded (see fields/gl3.py); the eager path runs
-    # the same already-jitted pieces as separate dispatches
-    if getattr(F, "XLA_FUSE_SAFE", True):
-        return _build_permutation_column_fused(F, *args)
-    return _build_permutation_column_raw(F, *args)
+_build_permutation_column = fuse_unless_unsafe(_build_permutation_column)

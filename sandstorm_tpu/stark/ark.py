@@ -111,9 +111,10 @@ class ArkProof:
 # -- reading ----------------------------------------------------------------
 
 class _Reader:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, modulus: int = P):
         self.data = data
         self.pos = 0
+        self.modulus = modulus
 
     def u8(self) -> int:
         v = self.data[self.pos]
@@ -138,7 +139,7 @@ class _Reader:
 
     def felt(self) -> int:
         v = int.from_bytes(self.raw(32), "little")
-        assert v < P, f"non-canonical felt at {self.pos - 32}"
+        assert v < self.modulus, f"non-canonical felt at {self.pos - 32}"
         return v
 
     def felts(self) -> List[int]:
@@ -155,8 +156,12 @@ class _Reader:
         return [self.merkle_view() for _ in range(self.u64())]
 
 
-def parse_proof(data: bytes) -> ArkProof:
-    r = _Reader(data)
+def parse_proof(data: bytes, modulus: int = P) -> ArkProof:
+    """Parse ark-serialized proof bytes; felts are validated against
+    `modulus` (the FULL field order — p^3 for the Goldilocks cubic
+    extension), so non-canonical values die here as a parse error, not
+    deep inside the verifier."""
+    r = _Reader(data, modulus)
     options = tuple(r.u8() for _ in range(5))
     trace_len = r.u64()
     base_c = r.digest()

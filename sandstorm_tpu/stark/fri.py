@@ -32,28 +32,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..fields._jit import fuse_unless_unsafe
 from ..ntt import intt, powers_host
 
 
-def _fold_inner_raw(F, E, coeffs):
+@fuse_unless_unsafe
+def _fold_inner(F, E, coeffs):
     """inner = sum_t coeffs[t] * E[t]: [f, M, L] x [f, L] -> [M, L]."""
     acc = None
     for t in range(E.shape[0]):
         term = F.mul(E[t], jnp.broadcast_to(coeffs[t], E[t].shape))
         acc = term if acc is None else F.add(acc, term)
     return acc
-
-
-_fold_inner_fused = functools.partial(jax.jit, static_argnums=(0,))(
-    _fold_inner_raw)
-
-
-def _fold_inner(F, E, coeffs):
-    # extension fields skip the fused f-term mul chain (XLA:CPU optimize
-    # pathology — see fields/gl3.py); eager runs the small jitted kernels
-    if getattr(F, "XLA_FUSE_SAFE", True):
-        return _fold_inner_fused(F, E, coeffs)
-    return _fold_inner_raw(F, E, coeffs)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -110,14 +100,9 @@ def fri_fold_host(p: int, row, i: int, layer_size: int, coset: int,
 
 
 def bitrev_perm(n: int):
-    """perm[b] = bit-reverse of b over log2(n) bits (numpy, host)."""
-    bits = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.int64)
-    out = np.zeros_like(idx)
-    for _ in range(bits):
-        out = (out << 1) | (idx & 1)
-        idx >>= 1
-    return out
+    """perm[b] = bit-reverse of b over log2(n) bits (shared ntt helper)."""
+    from ..ntt.ntt import bit_reverse_perm
+    return bit_reverse_perm(n).astype(np.int64)
 
 
 def bitrev_int(x: int, bits: int) -> int:
@@ -199,10 +184,6 @@ class FriProver:
         self.remainder = ints[:bound]
         return self.remainder
 
-    def open_query(self, index: int):
-        """Per-layer (row values, path) openings for a query at base index."""
-        return self.open_queries([index])[0]
-
     def open_ark(self, indices):
         """Per-layer deduped leaf openings in the ark wire form
         (miniSTARK FriProof layers: values + MerkleViews per sorted unique
@@ -231,28 +212,4 @@ class FriProver:
                     sibling_leaf=self.scheme.hash_row(F, row)))
             out.append((values, views))
             cur = leaves
-        return out
-
-    def open_queries(self, indices):
-        """Batched per-layer openings for all queries (stored indices: a
-        query at stored index q sits in leaf q // f and collapses to stored
-        index q // f of the folded layer).  Per layer: one row gather + one
-        transfer + one batched path extraction."""
-        F = self.F
-        f = self.options.fri_folding_factor
-        cur = np.asarray(list(indices), dtype=np.int64)
-        out = [[] for _ in cur]
-        for tree, rows, layer_size, coset in self.layers:
-            i = cur // f
-            # ONE decode dispatch + transfer for the whole [Q, f, L] batch —
-            # a per-(query, layer) decode_ints paid a device round trip each
-            # (65 x 4 dispatches ~ 10s through the tunnel)
-            vals = F.decode(jnp.take(rows, jnp.asarray(i), axis=0))  # [Q, f]
-            if hasattr(tree, "prove_batch"):
-                tpaths = tree.prove_batch([int(v) for v in i])
-            else:
-                tpaths = [tree.prove(int(v)) for v in i]
-            for q in range(len(cur)):
-                out[q].append(([int(v) for v in vals[q]], tpaths[q]))
-            cur = i
         return out

@@ -132,7 +132,7 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
         outs = []
         for pt in pts:
             lo = powers_host(F, pt % p, b)
-            hi = powers_host(F, int(F.s(pt) ** b), a)
+            hi = powers_host(F, int(pow(F.s(pt), b, p)), a)
             outs.append(_open_all_at_point(F, col_arrays, hi, lo))
         vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
     values = {}

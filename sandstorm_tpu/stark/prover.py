@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..air.expr import LdeContext, evaluate_lde, trace_arguments
+from ..fields._jit import fuse_unless_unsafe
 from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
 from .openings import open_columns
 from .ark import ArkProof, ArkQueries, FriLayer, MerkleView
@@ -399,7 +400,8 @@ def _deep_den_scans(F, x, pts):
     return _deep_den_bwd(F, x, pts, pref_excl, inv_total)
 
 
-def _deep_apply_point_raw(F, acc, ldes, tv, cv, inv_k):
+@fuse_unless_unsafe
+def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
     """acc += inv_k * sum_j cv[j]*(ldes[j] - tv[j]) for one point's terms."""
     numer = None
     for j, lde in enumerate(ldes):
@@ -408,19 +410,6 @@ def _deep_apply_point_raw(F, acc, ldes, tv, cv, inv_k):
         numer = term if numer is None else F.add(numer, term)
     term = F.mul(numer, inv_k)
     return term if acc is None else F.add(acc, term)
-
-
-_deep_apply_point_fused = functools.partial(jax.jit, static_argnums=(0,))(
-    _deep_apply_point_raw)
-
-
-def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
-    # extension fields skip whole-group fusion: a linear chain of their
-    # multi-coordinate muls in one graph sends XLA:CPU optimize unbounded
-    # (fields/gl3.py); the eager path dispatches the small jitted kernels
-    if getattr(F, "XLA_FUSE_SAFE", True):
-        return _deep_apply_point_fused(F, acc, ldes, tv, cv, inv_k)
-    return _deep_apply_point_raw(F, acc, ldes, tv, cv, inv_k)
 
 
 def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
