@@ -52,3 +52,21 @@ def test_cli_prove_verify_tamper(tmp_path, field):
     with pytest.raises((VerificationError, SystemExit, AssertionError)):
         main(base + ["verify", "--proof", bad,
                      "--required-security-bits", "5"])
+
+
+def test_bench_smoke(capsys):
+    """The driver's bench.py code path end-to-end on a tiny workload —
+    guards the measurement script against engine API drift (a field
+    rename once broke it only at the very end of a full TPU run)."""
+    os.environ["SANDSTORM_BENCH_SMOKE"] = "1"
+    try:
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+            run_name="__main__")
+    finally:
+        del os.environ["SANDSTORM_BENCH_SMOKE"]
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+    rec = json.loads(out)
+    assert rec["metric"] == "cairo_steps_proved_per_sec"
+    assert rec["value"] > 0 and rec["detail"]["proof_bytes"] > 0
