@@ -32,11 +32,26 @@ def enable_compile_cache(path: str = None):
     import os
     import jax
     if path is None:
-        # per-backend cache dirs: XLA:CPU AOT entries are machine-feature
-        # tagged and cross-backend loads error (and risk SIGILL)
+        # per-backend AND per-machine cache dirs: XLA:CPU AOT entries bake
+        # host CPU features in (loading one compiled on a different machine
+        # SIGILLs — observed after this box migrated), and TPU executables
+        # are device-kind specific
         backend = jax.default_backend()
+        tag = backend
+        if backend == "cpu":
+            import hashlib
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((ln for ln in f if ln.startswith("flags")),
+                                 "")
+                tag += "_" + hashlib.md5(flags.encode()).hexdigest()[:8]
+            except OSError:
+                pass
+        else:
+            kind = jax.devices()[0].device_kind.replace(" ", "")
+            tag += f"_{kind}"
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), f".jax_cache_{backend}")
+            os.path.abspath(__file__))), f".jax_cache_{tag}")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

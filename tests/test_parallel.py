@@ -69,43 +69,66 @@ def test_dist_prove_step_runs():
     np.asarray(jax.device_get(leaves))  # materializes without error
 
 
+_MESH_PROVE_SCRIPT = r"""
+from sandstorm_tpu import enable_compile_cache
+enable_compile_cache()
+from sandstorm_tpu.binary.formats import AirPrivateInput, CairoWitness, Layout
+from sandstorm_tpu.claims import CairoClaim
+from sandstorm_tpu.fields.fp252 import Fp252
+from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,
+                                     instr_jmp_rel_imm)
+from sandstorm_tpu.stark.ark import serialize_proof
+from sandstorm_tpu.stark.options import ProofOptions
+from sandstorm_tpu.parallel import dist, make_mesh
+
+vm = CairoVM([instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0],
+             Fp252.MODULUS)
+trace, mem = vm.run(16, initial_ap=6, extra_memory={5: 0})
+registers, memory = vm.to_witness_arrays(trace, mem)
+pub = vm.build_public_input(trace, mem, layout=Layout.PLAIN)
+witness = CairoWitness(
+    air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
+    register_states=registers, memory=memory)
+claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN)
+options = ProofOptions(num_queries=4, lde_blowup_factor=2,
+                       proof_of_work_bits=4, fri_folding_factor=8,
+                       fri_max_remainder_coeffs=16)
+mesh = make_mesh(8)
+before = dist.NTT_CALLS
+proof = claim.prove(witness, options, mesh=mesh)
+assert dist.NTT_CALLS > before, "mesh prove did not hit the 4-step NTT"
+assert claim.verify(proof, required_security_bits=0)
+single = claim.prove(witness, options)
+assert serialize_proof(proof) == serialize_proof(single)
+print("MESH-PROVE-OK")
+"""
+
+
 def test_mesh_prove_e2e_fp252():
     """The REAL prover pipeline runs SPMD over an 8-device mesh (VERDICT
     item: multi-chip proving integrated into prove() itself): trace
     columns sharded on the row axis, every interpolate/LDE a four-step
     all_to_all NTT, and the resulting ark proof verifies on the host —
-    byte-identical to the single-chip proof of the same trace."""
-    from sandstorm_tpu.binary.formats import (AirPrivateInput, CairoWitness,
-                                              Layout)
-    from sandstorm_tpu.claims import CairoClaim
-    from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,
-                                         instr_jmp_rel_imm)
-    from sandstorm_tpu.stark.ark import serialize_proof
-    from sandstorm_tpu.stark.options import ProofOptions
-    from sandstorm_tpu.parallel import dist
+    byte-identical to the single-chip proof of the same trace.
 
-    p = Fp252.MODULUS
-    words = [instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0]
-    vm = CairoVM(words, p)
-    trace, mem = vm.run(16, initial_ap=6, extra_memory={5: 0})
-    registers, memory = vm.to_witness_arrays(trace, mem)
-    pub = vm.build_public_input(trace, mem, layout=Layout.PLAIN)
-    witness = CairoWitness(
-        air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
-        register_states=registers, memory=memory)
-    claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN)
-    options = ProofOptions(num_queries=4, lde_blowup_factor=2,
-                           proof_of_work_bits=4, fri_folding_factor=8,
-                           fri_max_remainder_coeffs=16)
+    Runs in a SUBPROCESS: this host's XLA:CPU intermittently segfaults
+    compiling the big sharded graphs late in a long pytest process
+    (accumulated JIT state; standalone it passes 100%) — isolation keeps
+    the suite deterministic without weakening the check."""
+    import os
+    import subprocess
+    import sys
 
-    mesh = make_mesh(8)
-    before = dist.NTT_CALLS
-    proof = claim.prove(witness, options, mesh=mesh)
-    assert dist.NTT_CALLS > before, "mesh prove did not hit the 4-step NTT"
-    assert claim.verify(proof, required_security_bits=0)
-
-    single = claim.prove(witness, options)
-    assert serialize_proof(proof) == serialize_proof(single)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run(
+        [sys.executable, "-c", _MESH_PROVE_SCRIPT],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert res.returncode == 0, f"mesh prove subprocess failed:\n{res.stderr}"
+    assert "MESH-PROVE-OK" in res.stdout
 
 
 def test_multihost_single_process_semantics():
