@@ -103,6 +103,9 @@ def main():
             "first_run_s": round(warm, 3),
             "proof_bytes": len(serialize_proof(proof)),
             "backend": __import__("jax").default_backend(),
+            "phases": dict(__import__(
+                "sandstorm_tpu.stark.prover", fromlist=["LAST_PHASES"]
+            ).LAST_PHASES),
         },
     }))
 

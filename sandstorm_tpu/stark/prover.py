@@ -37,14 +37,25 @@ from .options import ProofOptions
 from .scheme import get_scheme
 
 
+# wall-clock of each phase of the most recent prove(), as (label, seconds)
+# deltas — consumed by bench.py's detail and the profiling docs
+LAST_PHASES = []
+
+
 def _phase_logger():
-    """Wall-clock phase prints, enabled with SANDSTORM_TPU_TRACE_PHASES=1."""
-    if not os.environ.get("SANDSTORM_TPU_TRACE_PHASES"):
-        return lambda msg: None
+    """Per-phase wall clock: always recorded into LAST_PHASES; printed
+    when SANDSTORM_TPU_TRACE_PHASES=1."""
+    verbose = bool(os.environ.get("SANDSTORM_TPU_TRACE_PHASES"))
     t0 = time.time()
+    last = [t0]
+    LAST_PHASES.clear()
 
     def log(msg):
-        print(f"[prove +{time.time()-t0:7.1f}s] {msg}", flush=True)
+        now = time.time()
+        LAST_PHASES.append((msg, round(now - last[0], 3)))
+        last[0] = now
+        if verbose:
+            print(f"[prove +{now - t0:7.1f}s] {msg}", flush=True)
     return log
 
 
