@@ -27,6 +27,26 @@ RUST_PROVER_STEPS_PER_SEC_ESTIMATE = 10_000.0
 
 
 def main():
+    # the axon TPU tunnel comes and goes, and a down tunnel HANGS backend
+    # init rather than raising — probe in a subprocess with a hard timeout
+    # and record the outage instead of hanging/dying (the driver archives
+    # this script's one JSON line either way)
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=420)
+        err = None if r.returncode == 0 else (r.stderr or b"")[-300:].decode(
+            "utf-8", "replace")
+    except subprocess.TimeoutExpired:
+        err = "backend init timed out (TPU tunnel down?)"
+    if err is not None:
+        print(json.dumps({
+            "metric": "cairo_steps_proved_per_sec", "value": 0,
+            "unit": "steps/s", "vs_baseline": 0,
+            "detail": {"error": f"backend unavailable: {err}"},
+        }))
+        return
     from sandstorm_tpu import enable_compile_cache
     enable_compile_cache()
     from sandstorm_tpu.binary.formats import Layout
