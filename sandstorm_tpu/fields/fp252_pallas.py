@@ -189,8 +189,11 @@ def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     def point_body(k, _):
-        hi_k = [jnp.sum(jnp.where(lane_is_i, hi_ref[k, d:d + 1, :], 0),
-                        axis=1, keepdims=True)
+        # Mosaic can't reduce unsigned ints; digits are < 2^16 so the
+        # masked lane reduction is exact in int32
+        hi_k = [jnp.sum(jnp.where(lane_is_i,
+                                  hi_ref[k, d:d + 1, :].astype(jnp.int32), 0),
+                        axis=1, keepdims=True).astype(jnp.uint32)
                 for d in range(NDIGITS)]
         lo_k = [lo_ref[k, d:d + 1, :] for d in range(NDIGITS)]
         zp = _montmul_tile([jnp.broadcast_to(h, (1, T)) for h in hi_k], lo_k)

@@ -116,6 +116,11 @@ def _ntt_leaf_call(x_dm, tw, interpret=False):
         ],
         out_specs=pl.BlockSpec((NDIGITS, M, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
+        # the 8 unrolled butterfly stages keep ~45MB of digit temporaries
+        # live; the default 16MB scoped-vmem cap rejects the kernel on a
+        # real chip (v5e has 128MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_dm, tw)
 

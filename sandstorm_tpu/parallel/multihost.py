@@ -49,7 +49,11 @@ def initialize(coordinator_address: str = None, num_processes: int = None,
         return
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    on_tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES") \
+    # some environments set TPU_WORKER_HOSTNAMES to a literal libtpu
+    # warning string ("WARNING: could not determine ...") — only a
+    # comma-separated host list counts as pod metadata
+    worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = (worker_hosts and " " not in worker_hosts.strip()) \
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if addr:
         kwargs["coordinator_address"] = addr
@@ -60,6 +64,13 @@ def initialize(coordinator_address: str = None, num_processes: int = None,
     elif not on_tpu_pod:
         # nothing to join: single-process run (the common local case) —
         # the same calling code works unchanged on one host
+        _INITIALIZED = True
+        return
+    from jax._src import xla_bridge
+    if not kwargs and xla_bridge.backends_are_initialized():
+        # auto-discovery can only run before the backend exists; once a
+        # single-process backend is live the only coherent semantics is
+        # single-process (joining a pod now would be impossible anyway)
         _INITIALIZED = True
         return
     jax.distributed.initialize(**kwargs)
