@@ -57,7 +57,20 @@ def process_element(x: int, which: int, start):
 
 
 def pedersen_hash(a: int, b: int) -> int:
-    """StarkWare Pedersen hash (verified against public test vectors)."""
+    """StarkWare Pedersen hash (verified against public test vectors).
+
+    Routed through the native C++ window batch when available (~500x the
+    python EC walk; transcript reseeds chain a hundred of these); the
+    python path below remains the oracle the native kernels are tested
+    against (tests/test_native.py, test_hash_merkle.py)."""
+    from .. import native
+    if native.available():
+        return native.pedersen_hash_pairs_ints([a], [b])[0]
+    return pedersen_hash_oracle(a, b)
+
+
+def pedersen_hash_oracle(a: int, b: int) -> int:
+    """Pure-python pedersen (the differential-test oracle)."""
     p0, *_ = shift_and_table_points()
     acc = process_element(a, 0, p0)
     acc = process_element(b, 1, acc)

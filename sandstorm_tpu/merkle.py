@@ -114,9 +114,26 @@ def _words_to_felt_limbs(words_np):
     return np.ascontiguousarray(u8).view("<u8").reshape(-1, 4)
 
 
+def _use_device_pedersen() -> bool:
+    """Device subset-sum for the algebraic layers: TPU only by default
+    (the XLA digit kernels are slow on CPU backends; the native C++ batch
+    wins there).  SANDSTORM_TPU_DEVICE_PEDERSEN=0/1 overrides (tests)."""
+    import os
+    ov = os.environ.get("SANDSTORM_TPU_DEVICE_PEDERSEN")
+    if ov is not None:
+        return ov == "1"
+    return jax.default_backend() == "tpu"
+
+
+# levels with fewer pairs than this switch from the device kernel to the
+# native C++ batch (dispatch overhead beats the hash work below it)
+DEVICE_PEDERSEN_MIN_PAIRS = 1 << 13
+
+
 class FriendlyMerkleTreeFast:
-    """FriendlyMerkleTree with device row/low-level hashing and native
-    (C++) batched Pedersen for the algebraic top layers.
+    """FriendlyMerkleTree with device row/low-level hashing and the
+    algebraic top layers on the TPU (hashing/pedersen_tpu.py), falling
+    back to native (C++) batched Pedersen for small levels / CPU runs.
 
     Bit-identical to crypto/merkle_variants.FriendlyMerkleTree: rows hashed
     with MaskedBlake2s<20> over Montgomery-form felts, node merges below
@@ -124,8 +141,10 @@ class FriendlyMerkleTreeFast:
     Pedersen hash after a big-endian digest->felt boundary conversion.
     """
 
-    def __init__(self, blake_levels, felt_levels, single_col):
+    def __init__(self, blake_levels, felt_dev_levels, felt_levels,
+                 single_col):
         self._blake_levels = blake_levels      # device [M, 8] word arrays
+        self._felt_dev = felt_dev_levels       # device [M, 16] digit arrays
         self._felt_levels = felt_levels        # numpy [M, 4] u64 limb arrays
         self.single_col = single_col
         self._host_blake = None
@@ -143,6 +162,7 @@ class FriendlyMerkleTreeFast:
 
         single = len(word_cols) == 1
         blake_levels = []
+        felt_dev = []
         if single:
             # felt leaves, every layer algebraic
             felts = _words_to_felt_limbs(
@@ -156,12 +176,26 @@ class FriendlyMerkleTreeFast:
             height = int(leaves.shape[0]).bit_length() - 1
             for _ in range(max(height - n_friendly, 0)):
                 blake_levels.append(mask(hash_node_pairs(blake_levels[-1])))
-            felt_levels = [_words_to_felt_limbs(
-                np.asarray(jax.device_get(blake_levels[-1])))]
+            boundary = blake_levels[-1]
+            if (_use_device_pedersen()
+                    and boundary.shape[0] >= 2 * DEVICE_PEDERSEN_MIN_PAIRS):
+                from .hashing.pedersen_tpu import (
+                    digest_words_to_digits, digits_to_limbs_np,
+                    hash_pairs_digits)
+                cur = digest_words_to_digits(boundary)
+                felt_dev.append(cur)
+                while cur.shape[0] // 2 >= DEVICE_PEDERSEN_MIN_PAIRS:
+                    cur = hash_pairs_digits(F, cur[0::2], cur[1::2])
+                    felt_dev.append(cur)
+                felt_levels = [digits_to_limbs_np(
+                    np.asarray(jax.device_get(cur)))]
+            else:
+                felt_levels = [_words_to_felt_limbs(
+                    np.asarray(jax.device_get(boundary)))]
         while felt_levels[-1].shape[0] > 1:
             prev = felt_levels[-1]
             felt_levels.append(pedersen_hash_pairs(prev[0::2], prev[1::2]))
-        return cls(blake_levels, felt_levels, single)
+        return cls(blake_levels, felt_dev, felt_levels, single)
 
     @property
     def root(self) -> bytes:
@@ -175,21 +209,43 @@ class FriendlyMerkleTreeFast:
         return self._host_blake
 
     def prove(self, index: int):
-        """32-byte siblings leaf->root.  The last blake level and felt
-        level 0 are the same tree level (a boundary conversion, not a
+        return self.prove_batch([index])[0]
+
+    def prove_batch(self, indices):
+        """32-byte siblings leaf->root per query.  The last blake level and
+        felt level 0 are the same tree level (a boundary conversion, not a
         merge), and a boundary felt's big-endian serialization IS the
-        digest's byte string — so every sibling serializes uniformly."""
-        path, idx = [], index
-        for level in self._host()[:-1]:
-            sib = level[idx ^ 1]
-            path.append(b"".join(int(w).to_bytes(4, "little") for w in sib))
-            idx >>= 1
+        digest's byte string — so every sibling serializes uniformly.
+
+        Blake and device felt siblings gather fused on device (one round
+        trip per tree); the native-hashed top levels index numpy arrays.
+        _felt_dev (when present) holds felt levels 0..d with level d
+        duplicated as _felt_levels[0], so device siblings come from
+        _felt_dev[:-1] and host siblings from _felt_levels[:-1]."""
+        idx = [int(i) for i in indices]
+        paths = _batched_paths(self._blake_levels[:-1], idx)
+        shift = max(len(self._blake_levels) - 1, 0)
+        cur = [q >> shift for q in idx]
+        if self._felt_dev:
+            dev = self._felt_dev[:-1]
+            sibs = _path_gather_kernel(len(dev))(
+                tuple(dev), jnp.asarray(cur, dtype=jnp.int32))
+            sibs = [np.asarray(jax.device_get(s), dtype=np.uint64)
+                    for s in sibs]
+            for lvl in sibs:  # [Q, 16] canonical digits
+                for q in range(len(idx)):
+                    v = 0
+                    for k in range(16):
+                        v |= int(lvl[q, k]) << (16 * k)
+                    paths[q].append(v.to_bytes(32, "big"))
+            cur = [q >> len(dev) for q in cur]
         for level in self._felt_levels[:-1]:
-            sib = level[idx ^ 1]
-            path.append(int.from_bytes(sib.tobytes(), "little")
-                        .to_bytes(32, "big"))
-            idx >>= 1
-        return path
+            for q in range(len(idx)):
+                sib = level[cur[q] ^ 1]
+                paths[q].append(int.from_bytes(sib.tobytes(), "little")
+                                .to_bytes(32, "big"))
+            cur = [q >> 1 for q in cur]
+        return paths
 
 
 class MaskedKeccakMerkleTree:

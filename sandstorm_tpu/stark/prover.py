@@ -44,13 +44,21 @@ LAST_PHASES = []
 
 def _phase_logger():
     """Per-phase wall clock: always recorded into LAST_PHASES; printed
-    when SANDSTORM_TPU_TRACE_PHASES=1."""
+    when SANDSTORM_TPU_TRACE_PHASES=1.
+
+    log(msg, sync=arr) first forces the device stream by fetching one
+    element of arr — on the tunneled axon platform block_until_ready
+    returns before execution finishes, so without a fetch a phase's queued
+    device work would be charged to whichever later phase first pulls a
+    value to the host."""
     verbose = bool(os.environ.get("SANDSTORM_TPU_TRACE_PHASES"))
     t0 = time.time()
     last = [t0]
     LAST_PHASES.clear()
 
-    def log(msg):
+    def log(msg, sync=None):
+        if sync is not None:
+            jax.device_get(jnp.ravel(sync)[:1])
         now = time.time()
         LAST_PHASES.append((msg, round(now - last[0], 3)))
         last[0] = now
@@ -185,7 +193,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     base_cols = trace.base_columns()
     base_coeffs, base_lde = _lde_and_coeffs_multi(F, base_cols, blowup,
                                                   coset)
-    log("base columns interpolated + extended")
+    log("base columns interpolated + extended",
+        sync=base_lde[sorted(base_lde)[0]])
     base_tree = commit_bitrev([base_lde[i] for i in sorted(base_lde)])
     coin.reseed_with_digest(base_tree.root)
     log("base commit")
@@ -193,7 +202,10 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     # -- 3: challenges + extension columns --------------------------------
     challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
     ext_cols = trace.build_extension_columns(challenges)
+    log("extension columns built", sync=ext_cols[sorted(ext_cols)[0]])
     ext_coeffs, ext_lde = _lde_and_coeffs_multi(F, ext_cols, blowup, coset)
+    log("extension columns interpolated + extended",
+        sync=ext_lde[sorted(ext_lde)[0]])
     ext_tree = commit_bitrev([ext_lde[i] for i in sorted(ext_lde)])
     coin.reseed_with_digest(ext_tree.root)
     # the committed LDEs + coefficient arrays supersede the raw trace
@@ -235,7 +247,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     comp = evaluate_lde(constraints, ctx, domain_size=N,
                         fold=fold_composition,
                         chunk_size=constraint_chunk_size(F, N))
-    log("constraint evaluation")
+    log("constraint evaluation", sync=comp)
 
     # split C(x) = sum_j x^j C_j(x^m); commit the m columns on the LDE
     # domain.  The constraint quotients have degree < m*n (m = CE blowup,
@@ -256,6 +268,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     del comp_coeffs_all
     comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
                 for cc in comp_col_coeffs]
+    log("composition interpolated + split + extended", sync=comp_lde[-1])
     comp_tree = commit_bitrev(comp_lde)
     coin.reseed_with_digest(comp_tree.root)
     log("composition commit")
@@ -287,6 +300,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     deep = _deep_compose(
         F, dom, targs, {**base_lde, **ext_lde}, comp_lde,
         oods_trace_values, oods_comp_values, z, g, n, alpha_deep)
+    log("DEEP composition", sync=deep)
     dom._cache.clear()  # drops the cached [N, L] domain + zerofier tables
 
     # -- 6: FRI ------------------------------------------------------------

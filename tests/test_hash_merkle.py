@@ -73,3 +73,58 @@ def test_keccak256_vs_host():
             want = keccak256(data)
             have = b"".join(int(w).to_bytes(4, "little") for w in got[r])
             assert have == want, (nwords, r)
+
+
+def test_device_pedersen_matches_native():
+    """The TPU subset-sum (Jacobian windows) == the native C++ batch,
+    including the zero-scalar and high-window edge cases."""
+    from sandstorm_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native pedersen unavailable")
+    from sandstorm_tpu.hashing.pedersen_tpu import (digits_to_limbs_np,
+                                                    hash_pairs_digits)
+    rng = random.Random(7)
+    av = [rng.getrandbits(251) for _ in range(6)] + [0, 1]
+    bv = [rng.getrandbits(251) for _ in range(6)] + [0, (1 << 248) + 5]
+
+    def to_digits(vals):
+        return jnp.asarray(np.array(
+            [[(v >> (16 * k)) & 0xFFFF for k in range(16)] for v in vals],
+            dtype=np.uint32))
+
+    got = digits_to_limbs_np(np.asarray(
+        hash_pairs_digits(Fp252, to_digits(av), to_digits(bv))))
+    want = native.pedersen_hash_pairs(
+        np.stack([native._int_to_limbs(v) for v in av]),
+        np.stack([native._int_to_limbs(v) for v in bv]))
+    assert np.array_equal(got, want)
+
+
+def test_friendly_tree_device_path_matches_host(monkeypatch):
+    """FriendlyMerkleTreeFast with the device pedersen levels produces the
+    same root and query paths as the native-levels path."""
+    from sandstorm_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native pedersen unavailable")
+    from sandstorm_tpu import merkle as merkle_mod
+    rng = random.Random(3)
+    n, C = 64, 3
+    cols = [Fp252.encode_ints([rng.getrandbits(251) for _ in range(n)])
+            for _ in range(C)]
+    words = [Fp252.to_mont_be_words(c) for c in cols]
+
+    def build():
+        return merkle_mod.FriendlyMerkleTreeFast.from_mont_word_columns(
+            Fp252, words, n_friendly=22)
+
+    monkeypatch.setenv("SANDSTORM_TPU_DEVICE_PEDERSEN", "0")
+    ref = build()
+    monkeypatch.setenv("SANDSTORM_TPU_DEVICE_PEDERSEN", "1")
+    monkeypatch.setattr(merkle_mod, "DEVICE_PEDERSEN_MIN_PAIRS", 4)
+    dev = build()
+    assert dev._felt_dev, "device path not taken"
+    assert dev.root == ref.root
+    idx = [0, 1, 7, n - 1]
+    assert dev.prove_batch(idx) == ref.prove_batch(idx)

@@ -11,7 +11,10 @@ if not native.available():  # no toolchain — skip the module
 
 
 def test_pedersen_pairs_match_python():
-    from sandstorm_tpu.builtins.pedersen import pedersen_hash
+    # compare against the pure-python oracle (pedersen_hash itself routes
+    # through the native batch when available)
+    from sandstorm_tpu.builtins.pedersen import pedersen_hash_oracle \
+        as pedersen_hash
     from sandstorm_tpu.builtins.curve import P
     rng = random.Random(5)
     a = [0, 1, P - 1, (1 << 252) - 1 if (1 << 252) - 1 < P else P - 2] + \
