@@ -110,6 +110,26 @@ def _lde_and_coeffs_batched(F, cols: dict, blowup, coset):
             {i: ldes[:, k, :] for k, i in enumerate(keys)})
 
 
+def _coset_eval_multi(F, col_coeffs: list, N: int, coset: int):
+    """Evaluate several same-degree coefficient columns on the coset
+    domain with ONE batched forward NTT (single-chip Pallas path), else
+    per-column."""
+    from ..parallel import runtime
+    from ..ntt.ntt_pallas import pallas_ntt_ok, _batched_ntt_axis0
+    n = col_coeffs[0].shape[0] if col_coeffs else 0
+    if (runtime.active_mesh() is None and len(col_coeffs) > 1
+            and pallas_ntt_ok(F, N)):
+        x = jnp.stack(col_coeffs, axis=1)  # [n, m, L]
+        scaled = F.mul(x, powers_host(F, coset, n)[:, None, :])
+        scaled = jnp.concatenate(
+            [scaled,
+             jnp.zeros((N - n,) + scaled.shape[1:], dtype=scaled.dtype)],
+            axis=0)
+        out = _batched_ntt_axis0(F, scaled, False)
+        return [out[:, k, :] for k in range(len(col_coeffs))]
+    return [coset_eval_from_coeffs(F, cc, N, coset) for cc in col_coeffs]
+
+
 def _lde_and_coeffs_multi(F, cols: dict, blowup, coset):
     """Dispatch: batched single-chip Pallas path, else per-column."""
     from ..parallel import runtime
@@ -266,8 +286,7 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     # batched opener sees uniform [n, L] arrays even when blowup > m
     comp_col_coeffs = [comp_coeffs_all[j::m][:n] for j in range(m)]
     del comp_coeffs_all
-    comp_lde = [coset_eval_from_coeffs(F, cc, N, coset)
-                for cc in comp_col_coeffs]
+    comp_lde = _coset_eval_multi(F, comp_col_coeffs, N, coset)
     log("composition interpolated + split + extended", sync=comp_lde[-1])
     comp_tree = commit_bitrev(comp_lde)
     coin.reseed_with_digest(comp_tree.root)
