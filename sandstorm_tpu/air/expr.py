@@ -556,6 +556,131 @@ def _evaluate_lde_chunked(exprs, ctx: LdeContext, N: int, fold, B: int):
     return jnp.concatenate(out_chunks, axis=0)
 
 
+def _xpow_keys(exprs, N):
+    """All (exponent, period) pairs of X-power leaves in the expressions."""
+    keys = []
+    for n_ in walk(exprs):
+        if n_.key[0] == "X":
+            keys.append((1, N))
+        elif n_.key[0] == "pow" and n_.args[0].key[0] == "X":
+            e = n_.key[2]
+            keys.append((e, N // math.gcd(N, e)))
+    return sorted(set(keys))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _group_eval_jit(F, exprs, N, blowup, xkeys, columns, challenges, hints,
+                    periodic, xpows, coeffs):
+    """One fused device dispatch: evaluate a tuple of constraint
+    expressions over the full domain and return sum_i coeffs[i] * C_i.
+
+    exprs/xkeys are static (Expr hashes by structural key); every array —
+    trace columns, challenge/hint scalars, periodic LDEs, X-power tables,
+    fold coefficients — is a runtime argument, so no big compile-time
+    constants reach the HLO.  Periods are tracked exactly like the eager
+    evaluator so zerofiers invert on their short period.
+    """
+    memo = {}
+
+    def tile_to(val, period, target):
+        if period == target:
+            return val
+        if period == 0:
+            return jnp.broadcast_to(val, (target,) + val.shape)
+        return jnp.tile(val, (target // period, 1))
+
+    def ev(n_):
+        r = memo.get(id(n_))
+        if r is not None:
+            return r
+        k = n_.key
+        op = k[0]
+        if op == "X":
+            r = (xpows[xkeys.index((1, N))], N)
+        elif op == "const":
+            r = (F.encode_int(k[1]), 0)
+        elif op == "trace":
+            col, off = k[1], k[2]
+            arr = columns[col]
+            shift = (off * blowup) % arr.shape[0]
+            r = (jnp.roll(arr, -shift, axis=0) if shift else arr, N)
+        elif op == "challenge":
+            r = (challenges[k[1]], 0)
+        elif op == "hint":
+            r = (hints[k[1]], 0)
+        elif op == "periodic":
+            arr = periodic[k[1]]
+            r = (arr, arr.shape[0])
+        elif op in ("add", "sub", "mul"):
+            a, pa = ev(n_.args[0])
+            b, pb = ev(n_.args[1])
+            pr = max(pa, pb)
+            r = (getattr(F, op)(tile_to(a, pa, pr), tile_to(b, pb, pr)), pr)
+        elif op == "neg":
+            a, pa = ev(n_.args[0])
+            r = (F.neg(a), pa)
+        elif op == "pow":
+            e = k[2]
+            base = n_.args[0]
+            if base.key[0] == "X":
+                period = N // math.gcd(N, e)
+                r = (xpows[xkeys.index((e, period))], period)
+            else:
+                a, pa = ev(base)
+                r = (F.pow_static(a, e), pa)
+        elif op == "inv":
+            v, pv = ev(n_.args[0])
+            r = (F.inv(v), 0) if pv == 0 else (F.batch_inv(v, axis=0), pv)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown node {op}")
+        memo[id(n_)] = r
+        return r
+
+    acc = None
+    for i, e in enumerate(exprs):
+        v, pv = ev(e)
+        v = tile_to(v, pv, N)
+        term = F.mul(v, jnp.broadcast_to(coeffs[i], v.shape))
+        acc = term if acc is None else F.add(acc, term)
+    return acc
+
+
+def evaluate_lde_folded(exprs, ctx: LdeContext, domain_size: int,
+                        fold_coeffs, group_size: int = 8):
+    """Coefficient-weighted sum of constraint evaluations over the LDE
+    domain (the composition polynomial), dispatched in jitted GROUPS of
+    constraints instead of per DAG node.
+
+    The eager walker pays one tunneled device dispatch per DAG op (~600
+    dispatches for the 93-constraint recursive AIR); here each group of
+    `group_size` constraints is one fused dispatch.  Groups are kept
+    moderate because very large fused graphs have crashed the TPU
+    remote-compile helper at starknet shapes (see fri.py).
+
+    fold_coeffs: list of python ints, coefficient per constraint.
+    Returns the [N, L] accumulator.
+    """
+    F = ctx.F
+    N = domain_size
+    periodic = tuple(pc() for pc in ctx.periodic)
+    challenges = tuple(ctx.challenges)
+    hints = tuple(ctx.hints)
+    acc = None
+    for s in range(0, len(exprs), group_size):
+        grp = tuple(exprs[s:s + group_size])
+        xkeys = tuple(_xpow_keys(grp, N))
+        xpows = tuple(ctx.x_pow_fn(e, period) for (e, period) in xkeys)
+        cols = {c: ctx.columns[c] for c in
+                sorted({n_.key[1] for n_ in walk(grp)
+                        if n_.key[0] == "trace"})}
+        coeffs = jnp.stack([F.encode_int(c)
+                            for c in fold_coeffs[s:s + group_size]])
+        part = _group_eval_jit(F, grp, N, ctx.blowup, xkeys, cols,
+                               challenges, hints, periodic, xpows, coeffs)
+        acc = part if acc is None else F.add(acc, part)
+    return acc
+
+
 class ScalarContext:
     """Evaluate constraints at a single (OODS) point.
 

@@ -256,6 +256,17 @@ class Fp252:
         return cls._expand_and_mont(words)
 
     @classmethod
+    def encode_canonical_u64_many(cls, cols):
+        """List of numpy [n, 4] u64 canonical columns -> list of Montgomery
+        digit arrays, via ONE host->device transfer (the tunneled link
+        rewards large transfers: ~13MB/s at 8MB vs ~38MB/s at 128MB)."""
+        stacked = np.ascontiguousarray(
+            np.stack([np.asarray(c, dtype=np.uint64) for c in cols]))
+        words = jnp.asarray(stacked.view("<u4"))  # [C, n, 8]
+        out = cls._expand_and_mont(words)
+        return [out[i] for i in range(len(cols))]
+
+    @classmethod
     def _expand_and_mont(cls, words):
         lo = words & U32(0xFFFF)
         hi = words >> 16

@@ -187,10 +187,15 @@ class PlainExecutionTrace:
     def base_columns(self):
         """dict col -> [n, L] device arrays in the field's mul domain."""
         if self._device_cols is None:
-            self._device_cols = {
-                i: self.F.encode_canonical_u64(col)
-                for i, col in self.base_cols_canonical.items()
-            }
+            keys = sorted(self.base_cols_canonical)
+            if hasattr(self.F, "encode_canonical_u64_many"):
+                # one fused host->device transfer for the whole column set
+                encoded = self.F.encode_canonical_u64_many(
+                    [self.base_cols_canonical[i] for i in keys])
+            else:
+                encoded = [self.F.encode_canonical_u64(
+                    self.base_cols_canonical[i]) for i in keys]
+            self._device_cols = dict(zip(keys, encoded))
         return self._device_cols
 
     def build_extension_columns(self, challenges):

@@ -155,18 +155,28 @@ def _stage_tables_np(F, M: int, inverse: bool):
     return out
 
 
-_DEV_CACHE = {}
+import collections
+
+_DEV_CACHE = collections.OrderedDict()
+# twiddle-table HBM budget.  Tables re-upload through the ~13MB/s tunnel
+# when evicted, and one prove alternates transform sizes every phase
+# (intt n <-> fwd N <-> intt N): evicting by size cost ~2.5s of re-upload
+# PER PHASE.  LRU within a byte budget keeps a whole prove's working set
+# resident (recursive scale ~80MB, starknet ~800MB; HBM is 16GB).
+_DEV_BUDGET_BYTES = 2 << 30
 
 
 def _dev(key, build):
-    if key not in _DEV_CACHE:
-        # evict big same-kind tables of other transform sizes (bound HBM)
-        for k in list(_DEV_CACHE):
-            if (k[0], k[1]) == (key[0], key[1]) and k[2] != key[2] \
-                    and k[2] > (1 << 16):
-                del _DEV_CACHE[k]
-        _DEV_CACHE[key] = jnp.asarray(build())
-    return _DEV_CACHE[key]
+    if key in _DEV_CACHE:
+        _DEV_CACHE.move_to_end(key)
+        return _DEV_CACHE[key]
+    val = jnp.asarray(build())
+    _DEV_CACHE[key] = val
+    total = sum(v.size * 4 for v in _DEV_CACHE.values())
+    while total > _DEV_BUDGET_BYTES and len(_DEV_CACHE) > 1:
+        _, old = _DEV_CACHE.popitem(last=False)
+        total -= old.size * 4
+    return val
 
 
 def _stage_tables_dev(F, M: int, inverse: bool):

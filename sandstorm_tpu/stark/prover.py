@@ -27,7 +27,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ..air.expr import LdeContext, evaluate_lde, trace_arguments
+from ..air.expr import (LdeContext, evaluate_lde,
+                        evaluate_lde_folded, trace_arguments)
 from ..fields._jit import fuse_unless_unsafe
 from ..ntt import intt, powers, powers_host, coset_eval_from_coeffs, field_sum
 from .openings import open_columns
@@ -169,7 +170,12 @@ class _DomainCache:
         if key not in self._cache:
             we = pow(self.w, e, p)
             ce = F.encode_int(pow(self.coset, e, p))
-            tbl = powers_host(F, we, max(period, 1))
+            if period > (1 << 16):
+                # big tables: a device prefix scan beats re-uploading a
+                # host table through the tunnel every prove (~1.2s/32MB)
+                tbl = powers(F, F.encode_int(we), period)
+            else:
+                tbl = powers_host(F, we, max(period, 1))
             self._cache[key] = F.mul(tbl, jnp.broadcast_to(ce, tbl.shape))
         return self._cache[key]
 
@@ -258,15 +264,23 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     # composition = sum_i alpha^i C_i, folded as constraint values stream
     # out of the evaluator (keeps peak memory at the live set)
     alpha_comp_s = F.s(alpha_comp)
+    chunk = constraint_chunk_size(F, N)
+    grouped_ok = jax.default_backend() == "tpu"  # XLA:CPU compile time
+    # explodes on fused multiply-chain graphs (see fields pow_static)
+    if chunk is None and grouped_ok:
+        # full-domain: grouped-jit evaluation (one dispatch per ~8
+        # constraints instead of per DAG node — the eager walk was
+        # dispatch-latency-bound through the tunnel)
+        coeff_ints = [int(alpha_comp_s ** i) for i in range(len(constraints))]
+        comp = evaluate_lde_folded(constraints, ctx, N, coeff_ints)
+    else:
+        def fold_composition(acc, cv, i):
+            coeff = F.encode_int(int(alpha_comp_s ** i))
+            term = F.mul(cv, jnp.broadcast_to(coeff, cv.shape))
+            return term if acc is None else F.add(acc, term)
 
-    def fold_composition(acc, cv, i):
-        coeff = F.encode_int(int(alpha_comp_s ** i))
-        term = F.mul(cv, jnp.broadcast_to(coeff, cv.shape))
-        return term if acc is None else F.add(acc, term)
-
-    comp = evaluate_lde(constraints, ctx, domain_size=N,
-                        fold=fold_composition,
-                        chunk_size=constraint_chunk_size(F, N))
+        comp = evaluate_lde(constraints, ctx, domain_size=N,
+                            fold=fold_composition, chunk_size=chunk)
     log("constraint evaluation", sync=comp)
 
     # split C(x) = sum_j x^j C_j(x^m); commit the m columns on the LDE
