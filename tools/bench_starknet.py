@@ -1,0 +1,74 @@
+"""Prove the reference's 131072-step starknet-layout bootloader on the TPU.
+
+The biggest checked-in workload (2^21-row trace, 195 constraints, full
+builtin set — /root/reference/example/bootloader).  Prints per-phase
+wall-clock (SANDSTORM_TPU_TRACE_PHASES honored), the steps/s summary, and
+self-verifies.  Round-1 state of this run was ~26 min prove / 5s verify.
+
+    python tools/bench_starknet.py [--scheme cairo|eth|generic]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("SANDSTORM_TPU_TRACE_PHASES", "1")
+
+
+def main():
+    scheme = "cairo"
+    if "--scheme" in sys.argv:
+        scheme = sys.argv[sys.argv.index("--scheme") + 1]
+    from sandstorm_tpu import enable_compile_cache
+    enable_compile_cache()
+    from sandstorm_tpu.binary.formats import Layout
+    from sandstorm_tpu.claims import CairoClaim
+    from sandstorm_tpu.examples import load_artifacts
+    from sandstorm_tpu.fields.fp252 import Fp252
+    from sandstorm_tpu.stark.ark import serialize_proof
+    from sandstorm_tpu.stark.options import ProofOptions
+
+    boot = "/root/reference/example/bootloader"
+    t0 = time.time()
+    program, pub, witness = load_artifacts(
+        os.path.join(boot, "bootloader_compiled.json"),
+        os.path.join(boot, "air-public-input.json"),
+        os.path.join(boot, "air-private-input.json"))
+    print(f"artifacts loaded in {time.time()-t0:.1f}s", flush=True)
+
+    claim = CairoClaim(program, pub, field=Fp252, layout=Layout.STARKNET,
+                       scheme=scheme)
+    # the reference's own bootloader proof used 16 queries (PARITY.md);
+    # keep the CLI defaults for comparability with the recursive bench
+    options = ProofOptions()
+
+    t0 = time.time()
+    proof = claim.prove(witness, options)
+    prove_s = time.time() - t0
+    t0 = time.time()
+    ok = claim.verify(proof, required_security_bits=80)
+    verify_s = time.time() - t0
+    assert ok
+    from sandstorm_tpu.stark import prover
+    print(json.dumps({
+        "workload": "starknet-bootloader",
+        "n_steps": pub.n_steps,
+        "steps_per_sec": round(pub.n_steps / prove_s, 2),
+        "prove_s": round(prove_s, 2),
+        "verify_s": round(verify_s, 2),
+        "proof_bytes": len(serialize_proof(proof)),
+        "scheme": scheme,
+        "phases": dict(prover.LAST_PHASES),
+    }))
+
+
+if __name__ == "__main__":
+    main()
