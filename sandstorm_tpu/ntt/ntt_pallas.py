@@ -204,6 +204,59 @@ def _bitrev_idx(M: int):
 
 # -- drivers -----------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _stack_fold(cols, r):
+    """tuple of [n, L] columns -> [r, (n//r)*C, L] four-step fold, fused.
+
+    Stacking columns eagerly materializes an [n, C, L] array whose layout
+    XLA may pick with the TINY C dim in the 128-lane position — at
+    starknet scale ([2^21, 9, 16]) that pads 14.2x and exceeds HBM.  Fused
+    with the fold reshape, the compiler only ever lays out the 3-D result
+    whose middle dim is large.
+    """
+    x = jnp.stack(cols, axis=1)  # [n, C, L]
+    n, C, L = x.shape
+    return x.reshape(r, (n // r) * C, L)
+
+
+def batched_ntt_cols(F, cols, inverse: bool):
+    """NTT over axis 0 of each same-length column; returns the list.
+
+    Columns ride the four-step batch axis; the initial stack+fold fuse
+    (see _stack_fold) and the result un-stacks with cheap 2-D slices.
+    """
+    cols = tuple(cols)
+    C = len(cols)
+    n = cols[0].shape[0]
+    if n <= M_MAX:
+        out = _batched_ntt_axis0(
+            F, jnp.stack(cols, axis=1) if C > 1 else cols[0][:, None, :],
+            inverse)
+        return [out[:, k, :] for k in range(C)]
+    R = min(M_MAX, 1 << ((n.bit_length() - 1 + 1) // 2))
+    Cf = n // R
+    x = _stack_fold(cols, R)                       # [R, Cf*C, L]
+    x = _batched_ntt_axis0(F, x, inverse)          # leaf over R
+    x = _twiddle_transpose(F, x, _rc_twiddle_dev(F, n, R, inverse), C)
+    x = _batched_ntt_axis0(F, x, inverse)          # [k_c, (k_r, C)]
+    # un-stack via 2-D strided slices (k = k_c*R + k_r), never exposing a
+    # small-middle-dim 3-D array to the eager layout chooser
+    x = x.reshape(Cf * R * C, NDIGITS)
+    return [x[k::C] for k in range(C)]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _twiddle_transpose(F, x, tw, c):
+    """[R, Cf*c, L] x [R, Cf, 1, L] -> [Cf, R*c, L] (four-step middle
+    step), fused so the small-dim 4-D intermediates never get an eager
+    layout (same hazard as _stack_fold)."""
+    R, _, L = x.shape
+    cf = tw.shape[1]
+    x = x.reshape(R, cf, c, L)
+    x = F.mul(x, tw)
+    return x.transpose(1, 0, 2, 3).reshape(cf, R * c, L)
+
+
 def _ntt_leaf(F, x, inverse: bool):
     """x [M, B, 16] natural order -> NTT over axis 0 (M <= M_MAX)."""
     M, B = x.shape[0], x.shape[1]
@@ -242,7 +295,7 @@ def ntt_fourstep(F, a, inverse: bool = False):
     a: [n, 16] natural order -> [n, 16] evaluations (or inverse incl. the
     1/n scale)."""
     n = a.shape[0]
-    out = _batched_ntt_axis0(F, a[:, None, :], inverse)[:, 0, :]
+    out = batched_ntt_cols(F, [a], inverse)[0]
     if inverse:
         n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
         out = F.mul(out, jnp.broadcast_to(n_inv, out.shape))

@@ -72,8 +72,11 @@ def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
             for t in range(f)])
         inner.append(_fold_inner(F, E, coeffs))
 
-    # bx[i] = beta / x_i  with x_i = coset * w^i
-    xinv = jnp.asarray(powers_host(F, w_inv, N // f))
+    # bx[i] = beta / x_i  with x_i = coset * w^i  (device-cached table:
+    # powers_host is numpy and would re-upload per layer per prove)
+    from ..ntt.ntt_pallas import _dev
+    xinv = _dev(("fri_xinv", F.NAME, w_inv % p, N // f),
+                lambda: powers_host(F, w_inv, N // f))
     bx = F.mul(xinv, jnp.broadcast_to(
         F.mul(beta, F.encode_int(pow(coset, -1, p))), xinv.shape))
 

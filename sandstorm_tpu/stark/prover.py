@@ -94,21 +94,37 @@ def _lde_and_coeffs_batched(F, cols: dict, blowup, coset):
     """All columns through ONE batched transform each way (the Pallas
     four-step NTT's batch axis carries the column set: ~C x fewer
     dispatches and full leaf-lane occupancy)."""
-    from ..ntt.ntt_pallas import _batched_ntt_axis0
+    from ..ntt.ntt_pallas import batched_ntt_cols
     keys = sorted(cols)
     n = cols[keys[0]].shape[0]
     N = n * blowup
-    x = jnp.stack([cols[i] for i in keys], axis=1)  # [n, C, L]
-    coeffs = _batched_ntt_axis0(F, x, True)
+    raw = batched_ntt_cols(F, [cols[i] for i in keys], True)
     n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
-    coeffs = F.mul(coeffs, jnp.broadcast_to(n_inv, coeffs.shape))
-    scaled = F.mul(coeffs, powers_host(F, coset, n)[:, None, :])
-    scaled = jnp.concatenate(
-        [scaled, jnp.zeros((N - n,) + scaled.shape[1:], dtype=scaled.dtype)],
-        axis=0)
-    ldes = _batched_ntt_axis0(F, scaled, False)
-    return ({i: coeffs[:, k, :] for k, i in enumerate(keys)},
-            {i: ldes[:, k, :] for k, i in enumerate(keys)})
+    coeffs = [_scale_pad(F, c, n_inv, 0) for c in raw]
+    coset_pow = _coset_pow_dev(F, coset, n)
+    scaled = [_scale_pad(F, c, coset_pow, N - n) for c in coeffs]
+    ldes = batched_ntt_cols(F, scaled, False)
+    return (dict(zip(keys, coeffs)), dict(zip(keys, ldes)))
+
+
+def _coset_pow_dev(F, coset: int, n: int):
+    """Device-resident [n, L] coset power table (powers_host returns a
+    numpy array: passing it straight into per-column jitted ops re-uploads
+    ~16MB per column per prove through the tunnel)."""
+    from ..ntt.ntt_pallas import _dev
+    return _dev(("cosetpow", F.NAME, coset, n),
+                lambda: powers_host(F, coset, n))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _scale_pad(F, col, scale, pad_rows: int):
+    """col * scale, zero-padded to pad_rows extra rows (one dispatch)."""
+    out = F.mul(col, scale)
+    if pad_rows:
+        out = jnp.concatenate(
+            [out, jnp.zeros((pad_rows,) + out.shape[1:], dtype=out.dtype)],
+            axis=0)
+    return out
 
 
 def _coset_eval_multi(F, col_coeffs: list, N: int, coset: int):
@@ -116,18 +132,13 @@ def _coset_eval_multi(F, col_coeffs: list, N: int, coset: int):
     domain with ONE batched forward NTT (single-chip Pallas path), else
     per-column."""
     from ..parallel import runtime
-    from ..ntt.ntt_pallas import pallas_ntt_ok, _batched_ntt_axis0
+    from ..ntt.ntt_pallas import pallas_ntt_ok, batched_ntt_cols
     n = col_coeffs[0].shape[0] if col_coeffs else 0
     if (runtime.active_mesh() is None and len(col_coeffs) > 1
             and pallas_ntt_ok(F, N)):
-        x = jnp.stack(col_coeffs, axis=1)  # [n, m, L]
-        scaled = F.mul(x, powers_host(F, coset, n)[:, None, :])
-        scaled = jnp.concatenate(
-            [scaled,
-             jnp.zeros((N - n,) + scaled.shape[1:], dtype=scaled.dtype)],
-            axis=0)
-        out = _batched_ntt_axis0(F, scaled, False)
-        return [out[:, k, :] for k in range(len(col_coeffs))]
+        coset_pow = _coset_pow_dev(F, coset, n)
+        scaled = [_scale_pad(F, cc, coset_pow, N - n) for cc in col_coeffs]
+        return batched_ntt_cols(F, scaled, False)
     return [coset_eval_from_coeffs(F, cc, N, coset) for cc in col_coeffs]
 
 
@@ -171,9 +182,14 @@ class _DomainCache:
             we = pow(self.w, e, p)
             ce = F.encode_int(pow(self.coset, e, p))
             if period > (1 << 16):
-                # big tables: a device prefix scan beats re-uploading a
-                # host table through the tunnel every prove (~1.2s/32MB)
-                tbl = powers(F, F.encode_int(we), period)
+                # big tables: upload once per PROCESS (LRU device cache) —
+                # uploading per prove cost ~1.2s/32MB, and computing them
+                # with an on-device scan gave the arrays a different
+                # layout, invalidating the persistent compile cache of
+                # every consumer graph
+                from ..ntt.ntt_pallas import _dev
+                tbl = _dev(("xpow", F.NAME, we, period),
+                           lambda: powers_host(F, we, period))
             else:
                 tbl = powers_host(F, we, max(period, 1))
             self._cache[key] = F.mul(tbl, jnp.broadcast_to(ce, tbl.shape))
@@ -209,7 +225,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
 
     # trees commit rows in the reference's bit-reversed position order:
     # leaf q holds the row at natural LDE index bitrev(q) (PARITY.md)
-    brev = jnp.asarray(bitrev_perm(N))
+    from ..ntt.ntt_pallas import _dev
+    brev = _dev(("bitrev", N), lambda: bitrev_perm(N))
 
     def commit_bitrev(lde_cols):
         return scheme.commit(F, [jnp.take(c, brev, axis=0)
@@ -470,6 +487,22 @@ def _deep_apply_point(F, acc, ldes, tv, cv, inv_k):
     return term if acc is None else F.add(acc, term)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _deep_apply_group(F, col_groups, k0, cols, tvs, cvs, invs, acc):
+    """One fused dispatch applying a GROUP of DEEP points.
+
+    col_groups: static tuple (per point) of tuples of column keys;
+    cols: dict col-key -> [B, L]; tvs/cvs: tuples of [G_k, L] stacks;
+    invs: [K, B, L] denominator inverses (indexed at k0+i); acc: [B, L]
+    or None (passed as a zeros array by the caller for pytree stability).
+    """
+    for i, grp in enumerate(col_groups):
+        ldes = [cols[c] for c in grp]
+        acc = _deep_apply_point.__wrapped__(
+            F, acc, ldes, tvs[i], cvs[i], invs[k0 + i])
+    return acc
+
+
 def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
                   oods_comp_values, z, g, n, alpha_deep):
     """DEEP polynomial evaluations over the LDE domain (device).
@@ -513,13 +546,49 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     while K * B * F.NLIMBS * 4 > (3 << 29):
         B //= 2
 
+    # column identity per term (trace cols by key, comp cols offset past
+    # them) so point-groups can be applied in ONE fused dispatch each —
+    # the per-point eager loop was dispatch-latency-bound on the tunnel
+    comp_ids = {id(c): 10000 + l for l, c in enumerate(comp_lde)}
+    all_cols = {**{k: v for k, v in trace_lde.items()},
+                **{10000 + l: c for l, c in enumerate(comp_lde)}}
+
+    def col_key(arr):
+        got = comp_ids.get(id(arr))
+        if got is not None:
+            return got
+        for k, v in trace_lde.items():
+            if v is arr:
+                return k
+        raise KeyError("unknown DEEP column")
+
+    group_keys = [tuple(col_key(lde) for (lde, _, _) in grp)
+                  for grp in groups]
+    PG = 8  # points per fused dispatch (bounds graph size for the
+    # remote compiler; see fri.py on oversized fused graphs)
+    # TPU-gated like the grouped constraint fold: XLA:CPU compile time
+    # explodes on fused multiply-chain graphs (SANDSTORM_TPU_FUSE_DEEP
+    # overrides for tests)
+    ov = os.environ.get("SANDSTORM_TPU_FUSE_DEEP")
+    fuse = getattr(F, "XLA_FUSE_SAFE", True) and (
+        ov == "1" if ov is not None else jax.default_backend() == "tpu")
+
     acc_chunks = []
     for s in range(0, N, B):
         invs = _deep_den_scans(F, domain[s:s + B], pts_dev)  # [K, B, L]
-        acc = None
-        for k in range(K):
-            ldes = [lde[s:s + B] for (lde, _, _) in groups[k]]
-            acc = _deep_apply_point(F, acc, ldes, tv[k], cv[k], invs[k])
+        cols_chunk = {k: v[s:s + B] for k, v in all_cols.items()}
+        if fuse:
+            acc = F.zeros((min(B, N - s),))
+            for k0 in range(0, K, PG):
+                grp_struct = tuple(group_keys[k0:k0 + PG])
+                acc = _deep_apply_group(
+                    F, grp_struct, k0, cols_chunk,
+                    tuple(tv[k0:k0 + PG]), tuple(cv[k0:k0 + PG]), invs, acc)
+        else:
+            acc = None
+            for k in range(K):
+                ldes = [cols_chunk[ck] for ck in group_keys[k]]
+                acc = _deep_apply_point(F, acc, ldes, tv[k], cv[k], invs[k])
         jax.block_until_ready(acc)
         acc_chunks.append(acc)
         del invs
