@@ -645,6 +645,264 @@ def _group_eval_jit(F, exprs, N, blowup, xkeys, columns, challenges, hints,
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 14))
+def _group_eval_chunk_jit(F, exprs, blowup, pre_nodes, pre_periods,
+                          long_keys, columns, s, pre_vals, long_tbls,
+                          long_scals, challenges, hints, coeffs, B):
+    """One fused dispatch: evaluate a constraint group on the B-row chunk
+    starting at (traced) row s, returning sum_i coeffs[i] * C_i [B, L].
+
+    Chunk-INVARIANT subexpressions (zerofier inverses, periodic columns,
+    short X-powers — identical in every aligned chunk) arrive precomputed
+    in pre_vals (periods static in pre_periods) and seed the memo, so the
+    graph contains only chunk-variant work: trace-column wrap-around
+    gathers at s, long-period X^e = table * per-chunk scalar, and the
+    constraint arithmetic.
+    """
+    memo = {}
+    for node, val, period in zip(pre_nodes, pre_vals, pre_periods):
+        memo[id(node)] = (val, period)
+
+    def tile_to(val, period, target):
+        if period == target:
+            return val
+        if period == 0:
+            return jnp.broadcast_to(val, (target,) + val.shape)
+        return jnp.tile(val, (target // period, 1))
+
+    def ev(n_):
+        r = memo.get(id(n_))
+        if r is not None:
+            return r
+        k = n_.key
+        op = k[0]
+        if op == "X":
+            i = long_keys.index(1)
+            r = (F.mul(long_tbls[i], jnp.broadcast_to(
+                long_scals[i], long_tbls[i].shape)), B)
+        elif op == "const":
+            r = (F.encode_int(k[1]), 0)
+        elif op == "trace":
+            col, off = k[1], k[2]
+            arr = columns[col]
+            shift = (off * blowup) % arr.shape[0]
+            idx = (s + jnp.uint32(shift)
+                   + jnp.arange(B, dtype=jnp.uint32)) % jnp.uint32(
+                       arr.shape[0])
+            r = (jnp.take(arr, idx, axis=0), B)
+        elif op == "challenge":
+            r = (challenges[k[1]], 0)
+        elif op == "hint":
+            r = (hints[k[1]], 0)
+        elif op in ("add", "sub", "mul"):
+            a, pa = ev(n_.args[0])
+            b, pb = ev(n_.args[1])
+            pr = max(pa, pb)
+            r = (getattr(F, op)(tile_to(a, pa, pr), tile_to(b, pb, pr)), pr)
+        elif op == "neg":
+            a, pa = ev(n_.args[0])
+            r = (F.neg(a), pa)
+        elif op == "pow":
+            e = k[2]
+            if n_.args[0].key[0] == "X":
+                i = long_keys.index(e)
+                r = (F.mul(long_tbls[i], jnp.broadcast_to(
+                    long_scals[i], long_tbls[i].shape)), B)
+            else:
+                a, pa = ev(n_.args[0])
+                r = (F.pow_static(a, e), pa)
+        elif op == "inv":
+            v, pv = ev(n_.args[0])
+            r = (F.inv(v), 0) if pv == 0 else (F.batch_inv(v, axis=0), pv)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown node {op}")
+        memo[id(n_)] = r
+        return r
+
+    acc = None
+    for i, e in enumerate(exprs):
+        v, pv = ev(e)
+        v = tile_to(v, pv, B)
+        term = F.mul(v, jnp.broadcast_to(coeffs[i], v.shape))
+        acc = term if acc is None else F.add(acc, term)
+    return acc
+
+
+def evaluate_lde_folded_chunked(exprs, ctx: LdeContext, N: int, fold_coeffs,
+                                B: int, group_size: int = 8):
+    """Chunked + grouped composition fold: the starknet-scale variant of
+    evaluate_lde_folded (B-row windows bound live intermediates; jitted
+    constraint groups bound dispatch count).
+
+    Chunk-invariance analysis mirrors _evaluate_lde_chunked: invariant
+    boundary subtrees (everything composed solely of constants,
+    challenges, hints, periodic columns, and X^e with period <= B —
+    including the batch-INVERTED zerofiers) are evaluated once, eagerly,
+    on their short periods and passed into every chunk dispatch.
+    """
+    F = ctx.F
+    assert N % B == 0 and ctx.coset is not None
+    p = getattr(F, "BASE_MODULUS", F.MODULUS)
+    w = F.root_of_unity_int(N)
+    nodes = walk(exprs)
+
+    variant = {}
+    for n_ in nodes:
+        k = n_.key
+        op = k[0]
+        if op == "X" or op == "trace":
+            variant[id(n_)] = True
+        elif op == "pow" and n_.args[0].key[0] == "X":
+            variant[id(n_)] = (N // math.gcd(N, k[2])) > B
+        elif op in ("const", "challenge", "hint", "periodic"):
+            variant[id(n_)] = False
+        else:
+            variant[id(n_)] = any(variant[id(a)] for a in n_.args)
+
+    # invariant boundary nodes: invariant children of variant parents
+    # (plus invariant roots) — these seed every chunk dispatch
+    boundary, seen = [], set()
+
+    def collect(n_):
+        if id(n_) in seen:
+            return
+        seen.add(id(n_))
+        if not variant[id(n_)]:
+            if n_.key[0] not in ("const", "challenge", "hint"):
+                boundary.append(n_)
+            return
+        for a in n_.args:
+            collect(a)
+
+    for e in exprs:
+        collect(e)
+
+    # evaluate the invariant boundary once, on short periods (reuse the
+    # eager walker's memo/refcount machinery with tiling disabled)
+    pre_pairs = _evaluate_periods(boundary, ctx, N)
+    pre_nodes = tuple(boundary)
+    pre_periods = tuple(pp for (_, pp) in pre_pairs)
+    assert all(0 < pp <= B or pp == 0 for pp in pre_periods), \
+        "invariant boundary period exceeds the chunk"
+    pre_vals = tuple(v for (v, _) in pre_pairs)
+
+    # long-period X^e leaves: x^e on the chunk = tbl_e * scalar(e, s)
+    long_exps = sorted({
+        (1 if n_.key[0] == "X" else n_.key[2])
+        for n_ in nodes
+        if variant[id(n_)] and (
+            n_.key[0] == "X"
+            or (n_.key[0] == "pow" and n_.args[0].key[0] == "X"))})
+    long_keys = tuple(long_exps)
+    long_tbls = tuple(powers_host_dev(F, pow(w, e, p), B)
+                      for e in long_exps)
+
+    challenges = tuple(ctx.challenges)
+    hints = tuple(ctx.hints)
+    cols_all = ctx.columns
+
+    out_chunks = []
+    for s in range(0, N, B):
+        long_scals = tuple(
+            F.encode_int(pow(ctx.coset, e, p) * pow(w, e * s % N, p) % p)
+            for e in long_exps)
+        s_dev = jnp.asarray(s, dtype=jnp.uint32)
+        acc = None
+        for g in range(0, len(exprs), group_size):
+            grp = tuple(exprs[g:g + group_size])
+            grp_nodes = set(id(x) for x in walk(grp))
+            cols = {c: cols_all[c] for c in
+                    sorted({n_.key[1] for n_ in walk(grp)
+                            if n_.key[0] == "trace"})}
+            # pass only the seeds this group references
+            sel = [i for i, nd in enumerate(pre_nodes)
+                   if id(nd) in grp_nodes]
+            coeffs = jnp.stack([F.encode_int(c)
+                                for c in fold_coeffs[g:g + group_size]])
+            part = _group_eval_chunk_jit(
+                F, grp, ctx.blowup,
+                tuple(pre_nodes[i] for i in sel),
+                tuple(pre_periods[i] for i in sel),
+                long_keys, cols, s_dev,
+                tuple(pre_vals[i] for i in sel),
+                long_tbls, long_scals, challenges, hints, coeffs, B)
+            acc = part if acc is None else F.add(acc, part)
+        jax.device_get(jnp.ravel(acc)[:1])  # bound the dispatch queue
+        out_chunks.append(acc)
+    return jnp.concatenate(out_chunks, axis=0)
+
+
+def powers_host_dev(F, base: int, count: int):
+    """Device-cached powers table (see ntt_pallas._dev)."""
+    from ..ntt.ntt import powers_host
+    from ..ntt.ntt_pallas import _dev
+    return _dev(("xpowb", F.NAME, base, count),
+                lambda: powers_host(F, base, count))
+
+
+def _evaluate_periods(exprs, ctx: LdeContext, N: int):
+    """Eagerly evaluate expressions, returning (array, period) pairs
+    WITHOUT tiling to the full domain (the seed values for the chunked
+    grouped evaluator)."""
+    sub = LdeContext(ctx.F, ctx.columns, ctx.blowup, ctx.domain_fn,
+                     ctx.x_pow_fn, ctx.challenges, ctx.hints, ctx.periodic,
+                     ctx.coset)
+    out = []
+    memo = sub.memo
+
+    F = ctx.F
+
+    def tile_to(val, period, target):
+        if period == target:
+            return val
+        if period == 0:
+            return jnp.broadcast_to(val, (target,) + val.shape)
+        return jnp.tile(val, (target // period, 1))
+
+    def ev(n_):
+        r = memo.get(id(n_))
+        if r is not None:
+            return r
+        k = n_.key
+        op = k[0]
+        if op == "const":
+            r = (F.encode_int(k[1]), 0)
+        elif op == "challenge":
+            r = (ctx.challenges[k[1]], 0)
+        elif op == "hint":
+            r = (ctx.hints[k[1]], 0)
+        elif op == "periodic":
+            arr = ctx.periodic[k[1]]()
+            r = (arr, arr.shape[0])
+        elif op in ("add", "sub", "mul"):
+            a, pa = ev(n_.args[0])
+            b, pb = ev(n_.args[1])
+            pr = max(pa, pb)
+            r = (getattr(F, op)(tile_to(a, pa, pr), tile_to(b, pb, pr)), pr)
+        elif op == "neg":
+            a, pa = ev(n_.args[0])
+            r = (F.neg(a), pa)
+        elif op == "pow":
+            e = k[2]
+            if n_.args[0].key[0] == "X":
+                period = N // math.gcd(N, e)
+                r = (ctx.x_pow_fn(e, period), period)
+            else:
+                a, pa = ev(n_.args[0])
+                r = (F.pow_static(a, e), pa)
+        elif op == "inv":
+            v, pv = ev(n_.args[0])
+            r = (F.inv(v), 0) if pv == 0 else (F.batch_inv(v, axis=0), pv)
+        else:  # pragma: no cover
+            raise ValueError(f"invariant walker hit variant node {op}")
+        memo[id(n_)] = r
+        return r
+
+    for e in exprs:
+        out.append(ev(e))
+    return out
+
+
 def evaluate_lde_folded(exprs, ctx: LdeContext, domain_size: int,
                         fold_coeffs, group_size: int = 8):
     """Coefficient-weighted sum of constraint evaluations over the LDE

@@ -25,8 +25,9 @@ from .hashing.blake2s import blake2s_words, hash_rows, hash_node_pairs, blake2s_
 @functools.lru_cache(maxsize=None)
 def _path_gather_kernel(nlevels: int):
     """One fused gather of every level's sibling digests for a batch of
-    query indices: levels (tuple of [M_l, 8]) x [Q] -> tuple of [Q, 8].
-    A per-level eager gather costs a host round trip per level per tree."""
+    query indices: levels (tuple of [M_l, W]) x [Q] -> [nlevels, Q, W]
+    stacked so ONE transfer carries the whole tree's paths (a per-level
+    fetch costs a tunnel round trip per level per tree)."""
     @jax.jit
     def f(levels, idx):
         out = []
@@ -34,19 +35,24 @@ def _path_gather_kernel(nlevels: int):
         for level in levels:
             out.append(jnp.take(level, cur ^ 1, axis=0))
             cur = cur >> 1
-        return tuple(out)
+        return jnp.stack(out)
     return f
 
 
-def _batched_paths(levels, indices):
-    """[levels, Q, 8] sibling digests -> list (per query) of 32-byte paths."""
-    if not levels:
-        return [[] for _ in indices]
+def _sibling_stack(levels, indices):
+    """numpy [nlevels, Q, W] sibling rows for the queries (one transfer)."""
     idx = jnp.asarray(list(indices), dtype=jnp.int32)
     sibs = _path_gather_kernel(len(levels))(tuple(levels), idx)
-    sibs = [np.asarray(jax.device_get(s)) for s in sibs]
-    return [[b"".join(int(w).to_bytes(4, "little") for w in lvl[qi])
-             for lvl in sibs]
+    return np.asarray(jax.device_get(sibs))
+
+
+def _batched_paths(levels, indices):
+    """Sibling digests -> list (per query) of 32-byte path strings."""
+    if not levels:
+        return [[] for _ in indices]
+    sibs = _sibling_stack(levels, indices)
+    return [[b"".join(int(w).to_bytes(4, "little") for w in sibs[l, qi])
+             for l in range(sibs.shape[0])]
             for qi in range(len(indices))]
 
 
@@ -126,8 +132,10 @@ def _use_device_pedersen() -> bool:
 
 
 # levels with fewer pairs than this switch from the device kernel to the
-# native C++ batch (dispatch overhead beats the hash work below it)
-DEVICE_PEDERSEN_MIN_PAIRS = 1 << 13
+# native C++ batch (dispatch overhead beats the hash work below it).
+# 2^10 keeps the FRI layer trees' levels on device too — the native
+# switchover cost ~0.2s per tree at 2^13 (42k hashes/s on one core)
+DEVICE_PEDERSEN_MIN_PAIRS = 1 << 10
 
 
 class FriendlyMerkleTreeFast:
@@ -148,6 +156,35 @@ class FriendlyMerkleTreeFast:
         self._felt_levels = felt_levels        # numpy [M, 4] u64 limb arrays
         self.single_col = single_col
         self._host_blake = None
+
+    @classmethod
+    def from_felt_column(cls, F, col, n_friendly: int):
+        """Single-column commitment: leaves are the raw CANONICAL felts
+        (the reference's Unhashed leaf variant) and every merge is
+        algebraic, so the whole tree is the Pedersen chain — on device
+        for the big levels (a 2^22-leaf single-column tree was minutes of
+        one-at-a-time host hashing)."""
+        from .native import pedersen_hash_pairs
+        from .hashing.pedersen_tpu import (digits_to_limbs_np,
+                                           hash_pairs_digits)
+        dig = F.from_mont(col)  # [N, 16] canonical digits (device)
+        felt_dev = []
+        if (_use_device_pedersen()
+                and dig.shape[0] >= 2 * DEVICE_PEDERSEN_MIN_PAIRS):
+            cur = dig
+            felt_dev.append(cur)
+            while cur.shape[0] // 2 >= DEVICE_PEDERSEN_MIN_PAIRS:
+                cur = hash_pairs_digits(F, cur[0::2], cur[1::2])
+                felt_dev.append(cur)
+            felt_levels = [digits_to_limbs_np(
+                np.asarray(jax.device_get(cur)))]
+        else:
+            felt_levels = [digits_to_limbs_np(
+                np.asarray(jax.device_get(dig)))]
+        while felt_levels[-1].shape[0] > 1:
+            prev = felt_levels[-1]
+            felt_levels.append(pedersen_hash_pairs(prev[0::2], prev[1::2]))
+        return cls([], felt_dev, felt_levels, True)
 
     @classmethod
     def from_mont_word_columns(cls, F, word_cols, n_friendly: int,
@@ -226,13 +263,10 @@ class FriendlyMerkleTreeFast:
         paths = _batched_paths(self._blake_levels[:-1], idx)
         shift = max(len(self._blake_levels) - 1, 0)
         cur = [q >> shift for q in idx]
-        if self._felt_dev:
+        if len(self._felt_dev) > 1:
             dev = self._felt_dev[:-1]
-            sibs = _path_gather_kernel(len(dev))(
-                tuple(dev), jnp.asarray(cur, dtype=jnp.int32))
-            sibs = [np.asarray(jax.device_get(s), dtype=np.uint64)
-                    for s in sibs]
-            for lvl in sibs:  # [Q, 16] canonical digits
+            sibs = _sibling_stack(dev, cur)  # [nlev, Q, 16] digits
+            for lvl in sibs.astype(np.uint64):
                 for q in range(len(idx)):
                     v = 0
                     for k in range(16):

@@ -90,20 +90,34 @@ def _lde_and_coeffs(F, column, blowup, coset):
     return coeffs, lde
 
 
+def _ntt_col_batch(F, n: int) -> int:
+    """Columns per batched transform: the four-step holds ~4 transient
+    copies of the batch, so cap the batch at ~1GB of column data (all
+    columns at recursive scale; 4 at a time at starknet's 2^22)."""
+    per_col = n * F.NLIMBS * 4
+    return max(1, (1 << 30) // per_col)
+
+
 def _lde_and_coeffs_batched(F, cols: dict, blowup, coset):
-    """All columns through ONE batched transform each way (the Pallas
-    four-step NTT's batch axis carries the column set: ~C x fewer
-    dispatches and full leaf-lane occupancy)."""
+    """All columns through batched transforms (the Pallas four-step NTT's
+    batch axis carries the column set: ~C x fewer dispatches and full
+    leaf-lane occupancy), sub-batched to bound transient HBM."""
     from ..ntt.ntt_pallas import batched_ntt_cols
     keys = sorted(cols)
     n = cols[keys[0]].shape[0]
     N = n * blowup
-    raw = batched_ntt_cols(F, [cols[i] for i in keys], True)
     n_inv = F.encode_int(pow(n, -1, F.BASE_MODULUS))
-    coeffs = [_scale_pad(F, c, n_inv, 0) for c in raw]
     coset_pow = _coset_pow_dev(F, coset, n)
-    scaled = [_scale_pad(F, c, coset_pow, N - n) for c in coeffs]
-    ldes = batched_ntt_cols(F, scaled, False)
+    coeffs, ldes = [], []
+    G = _ntt_col_batch(F, N)
+    for s in range(0, len(keys), G):
+        raw = batched_ntt_cols(F, [cols[i] for i in keys[s:s + G]], True)
+        cfs = [_scale_pad(F, c, n_inv, 0) for c in raw]
+        del raw
+        scaled = [_scale_pad(F, c, coset_pow, N - n) for c in cfs]
+        ldes.extend(batched_ntt_cols(F, scaled, False))
+        del scaled
+        coeffs.extend(cfs)
     return (dict(zip(keys, coeffs)), dict(zip(keys, ldes)))
 
 
@@ -114,6 +128,12 @@ def _coset_pow_dev(F, coset: int, n: int):
     from ..ntt.ntt_pallas import _dev
     return _dev(("cosetpow", F.NAME, coset, n),
                 lambda: powers_host(F, coset, n))
+
+
+@jax.jit
+def _gather_stack(cols, idx):
+    """tuple of [N, L] -> [C, Q, L] row gather (query assembly)."""
+    return jnp.stack([jnp.take(c, idx, axis=0) for c in cols])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -284,12 +304,17 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     chunk = constraint_chunk_size(F, N)
     grouped_ok = jax.default_backend() == "tpu"  # XLA:CPU compile time
     # explodes on fused multiply-chain graphs (see fields pow_static)
-    if chunk is None and grouped_ok:
-        # full-domain: grouped-jit evaluation (one dispatch per ~8
-        # constraints instead of per DAG node — the eager walk was
-        # dispatch-latency-bound through the tunnel)
+    if grouped_ok:
+        # grouped-jit evaluation: one dispatch per ~8 constraints (per
+        # chunk at starknet scale) instead of per DAG node — the eager
+        # walk was dispatch-latency-bound through the tunnel
         coeff_ints = [int(alpha_comp_s ** i) for i in range(len(constraints))]
-        comp = evaluate_lde_folded(constraints, ctx, N, coeff_ints)
+        if chunk is None:
+            comp = evaluate_lde_folded(constraints, ctx, N, coeff_ints)
+        else:
+            from ..air.expr import evaluate_lde_folded_chunked
+            comp = evaluate_lde_folded_chunked(constraints, ctx, N,
+                                               coeff_ints, chunk)
     else:
         def fold_composition(acc, cv, i):
             coeff = F.encode_int(int(alpha_comp_s ** i))
@@ -387,8 +412,10 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     idx_dev = jnp.asarray([bitrev_int(q, kN) for q in indices])
 
     def read_rows(cols):
-        vals = [F.decode(jnp.take(c, idx_dev, axis=0)) for c in cols]
-        return [[int(v[q]) for v in vals] for q in range(len(indices))]
+        # one fused gather+stack and ONE transfer for all columns
+        vals = F.decode(_gather_stack(tuple(cols), idx_dev))  # [C, Q]
+        return [[int(vals[c][q]) for c in range(len(cols))]
+                for q in range(len(indices))]
 
     base_rows = read_rows([base_lde[i] for i in sorted(base_lde)])
     ext_rows = read_rows([ext_lde[i] for i in sorted(ext_lde)])

@@ -145,13 +145,16 @@ class CairoVerifierScheme:
         return CairoVerifierPublicCoin(seed)
 
     def commit(self, F, lde_cols):
-        if getattr(F, "IS_MONT", False) and len(lde_cols) > 1:
+        if getattr(F, "IS_MONT", False):
             from ..merkle import FriendlyMerkleTreeFast
             from .. import native
             if native.available():
-                return FriendlyMerkleTreeFast.from_mont_word_columns(
-                    F, [F.to_mont_be_words(c) for c in lde_cols],
-                    self.n_friendly)
+                if len(lde_cols) > 1:
+                    return FriendlyMerkleTreeFast.from_mont_word_columns(
+                        F, [F.to_mont_be_words(c) for c in lde_cols],
+                        self.n_friendly)
+                return FriendlyMerkleTreeFast.from_felt_column(
+                    F, lde_cols[0], self.n_friendly)
         rows = _rows_from_lde_cols(F, lde_cols)
         tree = FriendlyMerkleTree.from_rows(self.n_friendly, rows)
         return _HostTreeHandle(tree, _digest32(tree.root), _digest32)

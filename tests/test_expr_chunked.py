@@ -104,3 +104,51 @@ def test_grouped_folded_matches_eager():
         want = term if want is None else F.add(want, term)
     got = E.evaluate_lde_folded(exprs, mk_ctx(), N, coeffs, group_size=2)
     assert F.decode_ints(got) == F.decode_ints(want)
+
+
+def test_grouped_chunked_matches_eager():
+    """evaluate_lde_folded_chunked (the starknet-scale grouped path) ==
+    the eager walk, including shared zerofier inverses and trace rolls."""
+    import jax.numpy as jnp
+    from sandstorm_tpu.air import expr as E
+    from sandstorm_tpu.fields.fp252 import Fp252 as F
+    from sandstorm_tpu.ntt import powers_host
+
+    N, blowup, B = 64, 2, 16
+    rng = random.Random(13)
+    cols = {i: F.encode_ints([rng.randrange(F.MODULUS) for _ in range(N)])
+            for i in range(2)}
+    w = F.root_of_unity_int(N)
+    coset = F.GENERATOR
+
+    def x_pow(e, period=None):
+        period = period or N
+        we = pow(w, e, F.MODULUS)
+        tbl = powers_host(F, we, period)
+        ce = F.encode_int(pow(coset, e, F.MODULUS))
+        return F.mul(jnp.asarray(tbl), jnp.broadcast_to(ce, tbl.shape))
+
+    ch = [F.encode_int(rng.randrange(F.MODULUS))]
+    t0, t1 = E.Trace(0, 0), E.Trace(1, 1)
+    zer_short = E.X.pow(N // 8) - 1      # period 8 <= B: invariant seed
+    zer_long = E.X.pow(3) - 7            # period N: chunk-variant
+    exprs = [
+        (t0 * t1 - E.Challenge(0)) / zer_short,
+        (t0.pow(2) - t1) / zer_short,
+        E.X * t1 + t0 / zer_long,
+        t1.pow(3) - t0,
+    ]
+    coeffs = [rng.randrange(F.MODULUS) for _ in exprs]
+
+    def mk_ctx():
+        return E.LdeContext(F, dict(cols), blowup, lambda: x_pow(1, N),
+                            x_pow, challenges=list(ch), coset=coset)
+
+    eager = E.evaluate_lde(exprs, mk_ctx(), domain_size=N)
+    want = None
+    for c, v in zip(coeffs, eager):
+        term = F.mul(v, jnp.broadcast_to(F.encode_int(c), v.shape))
+        want = term if want is None else F.add(want, term)
+    got = E.evaluate_lde_folded_chunked(exprs, mk_ctx(), N, coeffs, B,
+                                        group_size=2)
+    assert F.decode_ints(got) == F.decode_ints(want)

@@ -128,3 +128,28 @@ def test_friendly_tree_device_path_matches_host(monkeypatch):
     assert dev.root == ref.root
     idx = [0, 1, 7, n - 1]
     assert dev.prove_batch(idx) == ref.prove_batch(idx)
+
+
+def test_friendly_tree_single_column_device_matches_host(monkeypatch):
+    """from_felt_column (single-column all-algebraic device tree) ==
+    the host FriendlyMerkleTree on the same felts (root + paths)."""
+    from sandstorm_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native pedersen unavailable")
+    from sandstorm_tpu import merkle as merkle_mod
+    from sandstorm_tpu.crypto.merkle_variants import FriendlyMerkleTree
+    rng = random.Random(5)
+    n = 32
+    felts = [rng.getrandbits(251) for _ in range(n)]
+    col = Fp252.encode_ints(felts)
+
+    ref = FriendlyMerkleTree.from_rows(22, [[v] for v in felts])
+    monkeypatch.setenv("SANDSTORM_TPU_DEVICE_PEDERSEN", "1")
+    monkeypatch.setattr(merkle_mod, "DEVICE_PEDERSEN_MIN_PAIRS", 4)
+    dev = merkle_mod.FriendlyMerkleTreeFast.from_felt_column(Fp252, col, 22)
+    assert dev._felt_dev, "device path not taken"
+    assert dev.root == int(ref.root[1]).to_bytes(32, "big")
+    for i in (0, 5, n - 1):
+        want = [int(x[1]).to_bytes(32, "big") for x in ref.prove(i)]
+        assert dev.prove(i) == want
