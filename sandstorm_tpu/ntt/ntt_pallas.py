@@ -196,18 +196,6 @@ def _rc_twiddle_dev(F, M: int, R: int, inverse: bool):
     return _dev(("rc", F.NAME, M, R, inverse), build)
 
 
-def _rc_twiddle_flat_dev(F, M: int, R: int, inverse: bool):
-    """Flat 2-D [R*C, 16] w_M^(r*c) table (row r*C + q) — the layout-safe
-    form consumed by _twiddle_transpose."""
-    def build():
-        C = M // R
-        wp = _wpow_ints(F, M, inverse)
-        exps = (np.outer(np.arange(R, dtype=np.int64),
-                         np.arange(C, dtype=np.int64)) % M).ravel()
-        return F.encode_ints_np(list(wp[exps]))
-    return _dev(("rcflat", F.NAME, M, R, inverse), build)
-
-
 @functools.lru_cache(maxsize=None)
 def _bitrev_idx(M: int):
     from .ntt import bit_reverse_perm
@@ -216,67 +204,21 @@ def _bitrev_idx(M: int):
 
 # -- drivers -----------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _fold_gather(big, C: int, R: int):
-    """[C*n, L] column-concat -> [R, (n//R)*C, L] four-step fold.
-
-    Row (r, q*C + c) = cols[c][r*Cf + q], built as ONE flat 2-D gather
-    with on-device index arithmetic.  Any [n, C, L] stack with tiny C —
-    eager OR compiler-internal — risks XLA placing C in the 128-lane
-    position ([2^21, 9, 16] padded 14.2x to 16GB, straight past HBM), so
-    no array with two small trailing dims is ever formed.
-    """
-    L = big.shape[-1]
-    n = big.shape[0] // C
-    Cf = n // R
-    j = jnp.arange(n * C, dtype=jnp.int32)
-    idx = (j % C) * n + (j // (Cf * C)) * Cf + (j // C) % Cf
-    return jnp.take(big, idx, axis=0).reshape(R, Cf * C, L)
-
-
 def batched_ntt_cols(F, cols, inverse: bool):
     """NTT over axis 0 of each same-length column; returns the list.
 
-    Columns ride the four-step batch axis; the initial stack+fold fuse
-    (see _stack_fold) and the result un-stacks with cheap 2-D slices.
+    Columns transform INDIVIDUALLY (each as a [n, 1, L] four-step).  Two
+    rejected alternatives, for the record: stacking columns on the batch
+    axis ([n, C, L]) let XLA place the tiny C dim in the 128-lane position
+    ([2^21, 9, 16] padded 14.2x to 16GB, past HBM); interleaving via flat
+    2-D gathers avoided the layout but TPU row-gathers of millions of
+    64-byte rows ran ~10x slower than the reshape path.  Per-column
+    transforms use only [M, B, L] shapes with B large-or-1 (both
+    layout-stable across every scale this engine runs), and dispatch
+    amortization no longer matters (~6 dispatches per transform).
     """
-    cols = tuple(cols)
-    C = len(cols)
-    n = cols[0].shape[0]
-    if n <= M_MAX:
-        out = _batched_ntt_axis0(
-            F, jnp.stack(cols, axis=1) if C > 1 else cols[0][:, None, :],
-            inverse)
-        return [out[:, k, :] for k in range(C)]
-    R = min(M_MAX, 1 << ((n.bit_length() - 1 + 1) // 2))
-    Cf = n // R
-    big = jnp.concatenate(cols, axis=0) if C > 1 else cols[0]  # [C*n, L]
-    x = _fold_gather(big, C, R)                    # [R, Cf*C, L]
-    x = _batched_ntt_axis0(F, x, inverse)          # leaf over R
-    x = _twiddle_transpose(F, x, _rc_twiddle_flat_dev(F, n, R, inverse), C)
-    x = _batched_ntt_axis0(F, x, inverse)          # [k_c, (k_r, C)]
-    # un-stack via 2-D strided slices (k = k_c*R + k_r), never exposing a
-    # small-middle-dim 3-D array to the eager layout chooser
-    x = x.reshape(Cf * R * C, NDIGITS)
-    return [x[k::C] for k in range(C)]
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _twiddle_transpose(F, x, tw_flat, c):
-    """[R, Cf*c, L] x flat [R*Cf, L] w^(r*q) table -> [Cf, R*c, L].
-
-    The four-step middle step (twiddle by w_n^(r*q), transpose r<->q) in
-    flat 2-D form: per-row twiddle gather + permutation gather, with all
-    index math on device (same small-dim layout hazard as _fold_gather).
-    """
-    R, CfC, L = x.shape
-    cf = CfC // c
-    flat = x.reshape(R * CfC, L)
-    j = jnp.arange(R * CfC, dtype=jnp.int32)
-    flat = F.mul(flat, jnp.take(tw_flat, j // c, axis=0))
-    q, rem = j // (R * c), j % (R * c)
-    src = (rem // c) * CfC + q * c + rem % c
-    return jnp.take(flat, src, axis=0).reshape(cf, R * c, L)
+    return [_batched_ntt_axis0(F, c[:, None, :], inverse)[:, 0, :]
+            for c in cols]
 
 
 def _ntt_leaf(F, x, inverse: bool):
