@@ -396,8 +396,58 @@ class Fp252:
         return result
 
     @classmethod
+    def _inv_small(cls, a):
+        """Fermat inverse for small arrays: 4-bit windows over p-2 with the
+        fusable XLA digit multiply.
+
+        The 252-step bit loop of pallas muls costs ~26ms wall for a SINGLE
+        element (each iteration is a handful of tiny kernel launches);
+        every batch_inv ends in exactly one such tiny inversion, and a
+        prove makes dozens of batch_inv calls (zerofiers, permutation
+        scans, Pedersen ladder levels, DEEP chunks).  63 window steps of
+        five fused elementwise multiplies run in ~2ms.
+        """
+        def mul(x, y):
+            return _stack(_redc(_dmul_loose(x, y)))
+
+        # a^1..a^15 via scan (one mul in the graph: XLA:CPU compile time
+        # explodes on long chained-multiply graphs, see pow_static)
+        def tstep(prev, _):
+            nxt = mul(prev, a)
+            return nxt, nxt
+
+        _, tbl_hi = jax.lax.scan(tstep, a, None, length=14)
+        tbl = jnp.concatenate(
+            [cls.ones(a.shape[:-1])[None], a[None], tbl_hi], axis=0)
+        E = P - 2
+        nibbles = [(E >> (4 * i)) & 0xF for i in range(63)][::-1]  # MSB first
+        nib = jnp.array(nibbles, dtype=jnp.int32)
+        acc = jnp.take(tbl, nibbles[0], axis=0)
+
+        def body(i, acc):
+            for _ in range(4):
+                acc = mul(acc, acc)
+            return mul(acc, jnp.take(tbl, nib[i], axis=0))
+
+        return jax.lax.fori_loop(1, 63, body, acc)
+
+    @classmethod
     def inv(cls, a):
-        """Batched modular inverse via Fermat; inv(0) = 0."""
+        """Batched modular inverse via Fermat; inv(0) = 0.
+
+        Small arrays take the windowed unrolled path on TPU only: XLA:CPU
+        needs ~6 minutes to compile even its 4-deep squaring chain
+        (SANDSTORM_TPU_INV_SMALL=0/1 overrides for testing).
+        """
+        import os
+        n = 1
+        for d in a.shape[:-1]:
+            n *= d
+        ov = os.environ.get("SANDSTORM_TPU_INV_SMALL")
+        small_ok = (ov == "1" if ov is not None
+                    else jax.default_backend() == "tpu")
+        if n <= 128 and small_ok:
+            return cls._inv_small(a)
         return cls.pow_bits_loop(a, P - 2, 252)
 
     @classmethod

@@ -108,26 +108,42 @@ def _field_add_tile(a, b):
 
 
 def _montmul_kernel(a_ref, b_ref, o_ref):
-    a = [a_ref[i:i + 1, :] for i in range(NDIGITS)]
-    b = [b_ref[i:i + 1, :] for i in range(NDIGITS)]
+    """a_ref/b_ref/o_ref: [16, SB, 128] digit-major blocks.
+
+    Digit slices are [SB, 128] — SB sublanes x 128 lanes — so the VPU
+    runs at full 8-sublane occupancy (the earlier [1, T] digit rows used
+    one sublane of eight: ~5x slower end to end).
+    """
+    a = [a_ref[i] for i in range(NDIGITS)]
+    b = [b_ref[i] for i in range(NDIGITS)]
     out = _montmul_tile(a, b)
-    o_ref[:, :] = jnp.concatenate(out, axis=0)
+    for i in range(NDIGITS):
+        o_ref[i] = out[i]
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def montmul_digitmajor(a, b, tile: int = TILE):
-    """Montgomery product of digit-major [16, n] u32 arrays (n % tile == 0)."""
+# sublane-block height: 64 rows x 128 lanes = 8192 elements per grid step
+SB = 64
+
+
+@functools.partial(jax.jit, static_argnames=("sb",))
+def montmul_digitmajor(a, b, sb: int = SB):
+    """Montgomery product of digit-major [16, n] u32 arrays
+    (n % (sb*128) == 0)."""
     n = a.shape[1]
-    grid = (n // tile,)
-    spec = pl.BlockSpec((NDIGITS, tile), lambda i: (0, i),
+    rows = n // 128
+    a3 = a.reshape(NDIGITS, rows, 128)
+    b3 = b.reshape(NDIGITS, rows, 128)
+    grid = (rows // sb,)
+    spec = pl.BlockSpec((NDIGITS, sb, 128), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _montmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((NDIGITS, n), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((NDIGITS, rows, 128), a.dtype),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
-    )(a, b)
+    )(a3, b3)
+    return out.reshape(NDIGITS, n)
 
 
 def _pad_to(n, m):
@@ -137,20 +153,23 @@ def _pad_to(n, m):
 @jax.jit
 def montmul_rows(a, b):
     """Drop-in montmul for [..., 16] digit-minor arrays via one transpose
-    each way.  Falls back to tiles of 128 lanes for small batches."""
+    each way.  Small batches shrink the sublane block to one grid step."""
     shape = a.shape
     a2 = a.reshape(-1, NDIGITS)
     b2 = jnp.broadcast_to(b, shape).reshape(-1, NDIGITS)
     n = a2.shape[0]
-    tile = TILE if n % TILE == 0 else 128
-    npad = _pad_to(n, tile)
+    # Mosaic block rule: the sublane block dim must be a multiple of 8 or
+    # equal the whole array dim — small batches take one whole-array block
+    rows = _pad_to(n, 128) // 128
+    sb = rows if rows <= SB else SB
+    npad = _pad_to(n, sb * 128)
     if npad != n:
         pad = ((0, npad - n), (0, 0))
         a2 = jnp.pad(a2, pad)
         b2 = jnp.pad(b2, pad)
     at = a2.T  # [16, npad]
     bt = b2.T
-    ot = montmul_digitmajor(at, bt, tile=tile)
+    ot = montmul_digitmajor(at, bt, sb=sb)
     out = ot.T[:n]
     return out.reshape(shape)
 
@@ -160,28 +179,31 @@ def montmul_rows(a, b):
 # ---------------------------------------------------------------------------
 
 def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
-    """Grid step i covers element tile [i*T, (i+1)*T).
+    """Grid step i covers element tile [i*T, (i+1)*T), T = SBt*128.
 
-    cols_ref: [C, 16, T] coefficient tile (digit-major)
-    lo_ref:   [K, 16, T] per-point low powers (pt^0..pt^(T-1)), full block
+    cols_ref: [C, 16, SBt, 128] coefficient tile (digit-major, sublane-
+              blocked: SBt sublanes x 128 lanes per digit slice so the VPU
+              runs at full occupancy)
+    lo_ref:   [K, 16, SBt, 128] per-point low powers (pt^0..pt^(T-1))
     hi_ref:   [K, 16, A] per-point high powers ((pt^T)^0..), full block;
               step i's value is extracted with a masked lane reduction
               (single-lane vector loads need 128-aligned lane indices on
               TPU, so dynamic lane extraction is expressed as
               sum(where(lane == i, hi, 0)))
-    out_ref:  [K, C, 16, 128] running partial sums, same block every step
+    out_ref:  [K, C, 16, SBt, 128] running partial sums, same block every
+              step
 
     For tile i the needed powers are pt^(i*T + j) = hi[i] * lo[j], so each
     point costs ONE broadcast montmul per tile and the coefficient data is
     read from HBM exactly once for ALL K points.  Partial sums stay as
-    [16, 128] field elements reduced in-register; the final 128->1
-    reduction happens outside (it is tiny).
+    [16, SBt, 128] field elements; the final T->1 reduction happens
+    outside (it is tiny).
     """
-    i = pl.program_id(0)
     C = cols_ref.shape[0]
     K = lo_ref.shape[0]
-    T = cols_ref.shape[2]
+    SBt = cols_ref.shape[2]
     A = hi_ref.shape[2]
+    i = pl.program_id(0)
     lane_is_i = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1) == i
 
     @pl.when(i == 0)
@@ -195,22 +217,17 @@ def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
                                   hi_ref[k, d:d + 1, :].astype(jnp.int32), 0),
                         axis=1, keepdims=True).astype(jnp.uint32)
                 for d in range(NDIGITS)]
-        lo_k = [lo_ref[k, d:d + 1, :] for d in range(NDIGITS)]
-        zp = _montmul_tile([jnp.broadcast_to(h, (1, T)) for h in hi_k], lo_k)
+        lo_k = [lo_ref[k, d] for d in range(NDIGITS)]
+        zp = _montmul_tile(
+            [jnp.broadcast_to(h[:, :, None], (1, SBt, 128)).reshape(SBt, 128)
+             for h in hi_k], lo_k)
 
         def col_body(c, _):
-            col = [cols_ref[c, d:d + 1, :] for d in range(NDIGITS)]
+            col = [cols_ref[c, d] for d in range(NDIGITS)]
             prod = _montmul_tile(col, zp)
-            # reduce [1, T] -> [1, 128] by field-adding 128-lane chunks
-            parts = T // 128
-            red = [prod[d][:, :128] for d in range(NDIGITS)]
-            for j in range(1, parts):
-                red = _field_add_tile(
-                    red, [prod[d][:, j * 128:(j + 1) * 128]
-                          for d in range(NDIGITS)])
-            acc = [out_ref[k, c, d:d + 1, :] for d in range(NDIGITS)]
-            new = _field_add_tile(acc, red)
-            out_ref[k, c] = jnp.concatenate(new, axis=0)
+            acc = [out_ref[k, c, d] for d in range(NDIGITS)]
+            new = _field_add_tile(acc, prod)
+            out_ref[k, c] = jnp.stack(new, axis=0)
             return 0
 
         jax.lax.fori_loop(0, C, col_body, 0)
@@ -219,28 +236,41 @@ def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
     jax.lax.fori_loop(0, K, point_body, 0)
 
 
+# opener tile: 8 sublanes x 128 lanes
+SBT = 8
+
+
 @jax.jit
 def open_partials(cols_dm, lo_dm, hi_dm):
     """cols [C, 16, n], lo [K, 16, T], hi [K, 16, n//T] (Montgomery,
-    digit-major) -> [K, C, 16, 128] partial field sums of
-    sum_i cols[c, :, i] * (hi[k, :, i//T] * lo[k, :, i%T])."""
+    digit-major, T = SBT*128) -> [K, C, 16, SBT, 128] partial field sums
+    of sum_i cols[c, :, i] * (hi[k, :, i//T] * lo[k, :, i%T])."""
     C, _, n = cols_dm.shape
     K, _, T = lo_dm.shape
+    assert T == SBT * 128
     A = n // T
     assert hi_dm.shape == (K, NDIGITS, A)
+    cols4 = cols_dm.reshape(C, NDIGITS, n // 128, 128)
+    lo4 = lo_dm.reshape(K, NDIGITS, SBT, 128)
     grid = (A,)
     return pl.pallas_call(
         _open_kernel,
-        out_shape=jax.ShapeDtypeStruct((K, C, NDIGITS, 128), cols_dm.dtype),
+        out_shape=jax.ShapeDtypeStruct((K, C, NDIGITS, SBT, 128),
+                                       cols_dm.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((C, NDIGITS, T), lambda i: (0, 0, i),
+            pl.BlockSpec((C, NDIGITS, SBT, 128), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, NDIGITS, T), lambda i: (0, 0, 0),
+            pl.BlockSpec((K, NDIGITS, SBT, 128), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, NDIGITS, A), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, C, NDIGITS, 128), lambda i: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((K, C, NDIGITS, SBT, 128),
+                               lambda i: (0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(cols_dm, lo_dm, hi_dm)
+        # the [K, C, 16, SBT, 128] accumulator block alone is ~20MB; the
+        # default 16MB scoped-vmem cap rejects the kernel (v5e has 128MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(cols4, lo4, hi_dm)

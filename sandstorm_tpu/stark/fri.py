@@ -36,54 +36,54 @@ from ..fields._jit import fuse_unless_unsafe
 from ..ntt import intt, powers_host
 
 
-@fuse_unless_unsafe
-def _fold_inner(F, E, coeffs):
-    """inner = sum_t coeffs[t] * E[t]: [f, M, L] x [f, L] -> [M, L]."""
-    acc = None
-    for t in range(E.shape[0]):
-        term = F.mul(E[t], jnp.broadcast_to(coeffs[t], E[t].shape))
-        acc = term if acc is None else F.add(acc, term)
-    return acc
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_halvings(F, stages: int, evals, xinv, scals):
+    """`stages` unnormalized binary halvings in ONE dispatch.
+
+    evals: [N, L] natural order; xinv: [N/2, L] table of w_N^{-i}
+    (Montgomery); scals: [stages, L] stage scalars beta^(2^s)*coset^(-2^s).
+    Halving s pairs index i with i + half (x and -x since w^{N/2} = -1):
+        out[i] = (f(x)+f(-x)) + beta_s/x * (f(x)-f(-x))
+    with 1/x_i = coset^(-2^s) * w^(-(2^s) i) = scals[s] * xinv[(2^s) i].
+    """
+    cur = evals
+    for s in range(stages):
+        half = cur.shape[0] // 2
+        top, bot = cur[:half], cur[half:]
+        binv = F.mul(xinv[:: 1 << s][:half],
+                     jnp.broadcast_to(scals[s], (half,) + scals.shape[1:]))
+        t = F.mul(F.sub(top, bot), binv)
+        cur = F.add(F.add(top, bot), t)
+    return cur
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _fold_horner_step(F, res, bx, inner_j):
-    return F.add(F.mul(res, bx), inner_j)
-
-
-def fri_fold_device(F, evals, coset: int, layer_size: int, f: int, beta):
+def fri_fold_device(F, evals, coset: int, layer_size: int, f: int,
+                    beta_int: int):
     """One FRI fold: [N, L] -> [N/f, L].
 
-    Split into f+f small jitted kernels (inner DFT rows + Horner steps) —
-    one fused 64-multiply graph crashes the TPU remote-compile helper at
-    the starknet layer size, and big tables are runtime args regardless.
+    The factor-f fold is log2(f) unnormalized binary halvings with beta,
+    beta^2, beta^4 (StarkWare's evm-verifier FriLayer.sol convention —
+    see module docstring): 7N/8 montmuls total for f=8, fused into one
+    jitted dispatch.  Equivalent to the f-point inverse-DFT + Horner form
+    (tests/test_ntt.py cross-checks against fri_fold_host).
     """
     p = F.BASE_MODULUS  # fold geometry (roots, coset) is base-field
     N = layer_size
     assert evals.shape[0] == N
+    stages = f.bit_length() - 1
+    assert 1 << stages == f
     w_inv = pow(F.root_of_unity_int(N), -1, p)
-    mu_inv = pow(w_inv, N // f, p)  # mu^{-1}
 
-    E = evals.reshape(f, N // f, -1)  # E[t, i] = P(x_i * mu^t)
-    inner = []
-    for j in range(f):
-        coeffs = jnp.stack([
-            F.encode_int(pow(mu_inv, t * j, p))
-            for t in range(f)])
-        inner.append(_fold_inner(F, E, coeffs))
-
-    # bx[i] = beta / x_i  with x_i = coset * w^i  (device-cached table:
-    # powers_host is numpy and would re-upload per layer per prove)
     from ..ntt.ntt_pallas import _dev
-    xinv = _dev(("fri_xinv", F.NAME, w_inv % p, N // f),
-                lambda: powers_host(F, w_inv, N // f))
-    bx = F.mul(xinv, jnp.broadcast_to(
-        F.mul(beta, F.encode_int(pow(coset, -1, p))), xinv.shape))
-
-    res = inner[f - 1]
-    for j in range(f - 2, -1, -1):
-        res = _fold_horner_step(F, res, bx, inner[j])
-    return res
+    xinv = _dev(("fri_xinv2", F.NAME, w_inv % p, N // 2),
+                lambda: powers_host(F, w_inv, N // 2))
+    c_inv = pow(coset, -1, p)
+    bs = F.s(beta_int)
+    # base-field scalars embed via their packed form (coordinate 0)
+    scals = jnp.stack([
+        F.encode_int(int((bs ** (1 << s)) * F.s(pow(c_inv, 1 << s, p))))
+        for s in range(stages)])
+    return _fold_halvings(F, stages, evals, xinv, scals)
 
 
 def fri_fold_host(p: int, row, i: int, layer_size: int, coset: int,
@@ -168,8 +168,7 @@ class FriProver:
     def fold(self, evals, layer_size, coset, beta_int):
         F = self.F
         f = self.options.fri_folding_factor
-        beta = F.encode_int(beta_int)
-        return fri_fold_device(F, evals, coset, layer_size, f, beta)
+        return fri_fold_device(F, evals, coset, layer_size, f, beta_int)
 
     def finalize_remainder(self, evals, layer_size, coset):
         """Interpolate the last layer into remainder coefficients.

@@ -81,7 +81,7 @@ def _open_all_pallas(F, col_arrays, pts, n):
     from ..fields import fp252_pallas as fpp
     from ..ntt import powers_host
     p = F.MODULUS
-    T = 512
+    T = fpp.SBT * 128
     A = n // T
     cols = jnp.stack([c.T for c in col_arrays])  # [C, 16, n]
     out_chunks = []
@@ -92,9 +92,11 @@ def _open_all_pallas(F, col_arrays, pts, n):
                         for pt in chunk])
         hi = jnp.stack([jnp.asarray(powers_host(F, pow(pt, T, p), A)).T
                         for pt in chunk])
-        partials = fpp.open_partials(cols, lo, hi)  # [K, C, 16, 128]
-        x = jnp.transpose(partials, (0, 1, 3, 2))   # [K, C, 128, 16]
-        m = 128
+        partials = fpp.open_partials(cols, lo, hi)  # [K, C, 16, SBT, 128]
+        K_, C_ = partials.shape[0], partials.shape[1]
+        x = jnp.transpose(partials, (0, 1, 3, 4, 2)) \
+            .reshape(K_, C_, T, -1)                 # [K, C, T, 16]
+        m = T
         while m > 1:
             x = F.add(x[:, :, 0::2], x[:, :, 1::2])
             m //= 2
@@ -123,7 +125,7 @@ def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
     pts = [int(zs * pow(g, off % n, pb)) for off in offsets] \
         + [int(F.s(e)) for e in extra_points]
     from ..fields.fp252 import _use_pallas
-    if _use_pallas() and n % 512 == 0 and n >= 4096 \
+    if _use_pallas() and n % 1024 == 0 and n >= 4096 \
             and getattr(F, "NAME", "") == "fp252":
         vals = _open_all_pallas(F, col_arrays, pts, n)
     else:

@@ -230,6 +230,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
             return prove(F, air_config, trace, options, scheme)
     options = options or ProofOptions()
     scheme = get_scheme(scheme)
+    if hasattr(scheme, "prewarm"):
+        scheme.prewarm(F)
     p = F.MODULUS          # field order (draw bound, Fermat exponents)
     pb = F.BASE_MODULUS    # domain (root-of-unity / coset) arithmetic
     n = trace.trace_len
@@ -562,11 +564,21 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     for l, c_lde in enumerate(comp_lde):
         groups[K - 1].append((c_lde, oods_comp_values[l], int(coeff)))
         coeff = coeff * alpha_s
-    tv = [jnp.stack([F.encode_int(t) for (_, t, _) in grp])
-          for grp in groups]
-    cv = [jnp.stack([F.encode_int(c) for (_, _, c) in grp])
-          for grp in groups]
-    pts_dev = jnp.stack([F.encode_int(pt) for pt in points])
+    # ONE encode + upload for all per-point scalar stacks (the per-group
+    # jnp.stack-of-encode_int form made ~2*sum(G_k) tiny device puts)
+    flat_t = F.encode_ints(
+        [t for grp in groups for (_, t, _) in grp]
+        + [c for grp in groups for (_, _, c) in grp]
+        + points)
+    tv, cv = [], []
+    pos = 0
+    for grp in groups:
+        tv.append(flat_t[pos:pos + len(grp)])
+        pos += len(grp)
+    for grp in groups:
+        cv.append(flat_t[pos:pos + len(grp)])
+        pos += len(grp)
+    pts_dev = flat_t[pos:pos + K]
 
     # chunk size: keep the two [K, B, L] scan stacks ~1.5GB
     B = N

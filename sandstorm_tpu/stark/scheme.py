@@ -48,6 +48,10 @@ class GenericScheme:
 
     name = "generic"
 
+    def prewarm(self, F):
+        """Build any device tables before the prove's arrays land (see
+        CairoVerifierScheme.prewarm)."""
+
     def make_coin(self, pub, options, trace_len):
         return make_generic_coin(pub, options, trace_len)
 
@@ -98,6 +102,9 @@ class EthVerifierScheme:
     def __init__(self):
         self.H = MaskedKeccak256HashFn(20)
 
+    def prewarm(self, F):
+        pass
+
     def make_coin(self, pub, options, trace_len):
         # Solidity coin seeds with the Keccak256 of the canonical
         # public-input element serialization (src/lib.rs:145-156)
@@ -136,6 +143,15 @@ class CairoVerifierScheme:
 
     def __init__(self, n_friendly_layers: int = N_FRIENDLY_LAYERS):
         self.n_friendly = n_friendly_layers
+
+    def prewarm(self, F):
+        """Device Pedersen window tables: built in a clean HBM arena (the
+        16-bit combine's transients OOM in a fragmented one mid-prove)."""
+        if getattr(F, "IS_MONT", False):
+            from ..merkle import _use_device_pedersen
+            if _use_device_pedersen():
+                from ..hashing.pedersen_tpu import prewarm_tables
+                prewarm_tables(F)
 
     def make_coin(self, pub, options, trace_len):
         # Cairo coin seeds with the Blake2s of the element stream under

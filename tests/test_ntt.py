@@ -160,3 +160,27 @@ def test_batched_lde_matches_per_column():
             assert np.array_equal(np.asarray(rl), np.asarray(bl[i]))
     finally:
         mod._ntt_leaf_call = orig
+
+
+@pytest.mark.parametrize("F", [GL, Fp252], ids=["goldilocks", "fp252"])
+@pytest.mark.parametrize("f", [2, 4, 8])
+def test_fri_fold_device_matches_host(F, f):
+    """The halving-cascade device fold equals the verifier's per-row
+    inverse-DFT + Horner fold (stark/fri.py conventions)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from sandstorm_tpu.stark.fri import fri_fold_device, fri_fold_host
+
+    rng = random.Random(7)
+    p = F.BASE_MODULUS
+    N = 64
+    coset = F.GENERATOR
+    beta = rng.randrange(2, p)
+    vals = [rng.randrange(p) for _ in range(N)]
+    evals = F.encode_ints(vals)
+    folded = F.decode_ints(fri_fold_device(F, evals, coset, N, f, beta))
+    w = F.root_of_unity_int(N)
+    for i in range(N // f):
+        row = [vals[t * (N // f) + i] for t in range(f)]
+        want = fri_fold_host(p, row, i, N, coset, w, f, beta)
+        assert folded[i] == want, (f, i)
