@@ -48,12 +48,15 @@ def main(argv=None):
     parser.add_argument("--air-public-input", required=True)
     parser.add_argument("--layout", default=None,
                         help="override layout (default: from public input)")
-    parser.add_argument("--scheme", default="generic",
+    parser.add_argument("--scheme", default=None,
                         choices=["generic", "eth", "cairo"],
                         help="proof scheme: generic (device Blake2s Merkle "
                              "+ generic coin), eth (EthVerifierClaim: masked"
                              "-Keccak Merkle + Solidity coin), cairo (Cairo"
-                             "VerifierClaim: friendly Merkle + Cairo coin)")
+                             "VerifierClaim: friendly Merkle + Cairo coin). "
+                             "Default: dispatched from the layout like the "
+                             "reference CLI (recursive -> cairo, starknet -> "
+                             "eth, otherwise generic; main.rs:83-135)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     prove_p = sub.add_parser("prove")
@@ -71,13 +74,27 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    def scheme_for(layout, F):
+        """The reference's product configuration per layout
+        (cli/src/main.rs:83-135): Starkware-prime recursive proves the
+        CairoVerifierClaim, starknet the EthVerifierClaim; everything
+        else (incl. the Goldilocks experimental path) the generic scheme.
+        --scheme overrides."""
+        if args.scheme:
+            return args.scheme
+        if F is Fp252 and layout == Layout.RECURSIVE:
+            return "cairo"
+        if F is Fp252 and layout == Layout.STARKNET:
+            return "eth"
+        return "generic"
+
     if args.command == "prove":
         program, pub, witness = load_artifacts(
             args.program, args.air_public_input, args.air_private_input)
         F = _field_for_prime(program.prime)
         layout = Layout(args.layout) if args.layout else pub.layout
         claim = CairoClaim(program, pub, field=F, layout=layout,
-                           scheme=args.scheme)
+                           scheme=scheme_for(layout, F))
         options = ProofOptions(
             num_queries=args.num_queries,
             lde_blowup_factor=args.lde_blowup_factor,
@@ -91,8 +108,11 @@ def main(argv=None):
         with open(args.output, "wb") as f:
             f.write(blob)
         print(f"proof generated in {t:.1f}s")
-        print(f"proof security (conjectured): "
-              f"{options.security_level_bits()}bit")
+        sec = options.security_level_bits(
+            field_bits=F.MODULUS.bit_length(),
+            collision_resistance_bits=getattr(
+                claim.scheme, "COLLISION_RESISTANCE_BITS", None))
+        print(f"proof security (conjectured): {sec}bit")
         print(f"proof size: {len(blob) / 1024:.1f}KB")
         return 0
 
@@ -103,7 +123,7 @@ def main(argv=None):
         F = _field_for_prime(program.prime)
         layout = Layout(args.layout) if args.layout else pub.layout
         claim = CairoClaim(program, pub, field=F, layout=layout,
-                           scheme=args.scheme)
+                           scheme=scheme_for(layout, F))
         now = time.time()
         try:
             with open(args.proof, "rb") as f:

@@ -8,9 +8,10 @@ Leaves and all internal levels are hashed on device with the vectorized
 Blake2s kernel; the tree levels stay on device and are only pulled to host
 lazily when paths are assembled.
 
-The reference's mixed-hash "friendly" trees (Pedersen top layers) are a
-later-round SHARP-compatibility feature; the config hook (`node_hash_fn`)
-is already threaded through for it.
+The reference's mixed-hash "friendly" tree (Pedersen top layers,
+crypto/src/merkle/mod.rs:43-238) is FriendlyMerkleTreeFast below; the
+EthVerifierClaim's masked-Keccak LeafVariant tree is
+MaskedKeccakMerkleTree.  Host mirrors live in crypto/merkle_variants.py.
 """
 
 import functools

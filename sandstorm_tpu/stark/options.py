@@ -23,8 +23,21 @@ class ProofOptions:
                       self.proof_of_work_bits, self.fri_folding_factor,
                       self.fri_max_remainder_coeffs))
 
-    def security_level_bits(self) -> int:
-        """Conjectured security (queries * log2(blowup) + pow bits)."""
+    def security_level_bits(self, field_bits: int = None,
+                            collision_resistance_bits: int = None) -> int:
+        """Conjectured security, mirroring ministark's
+        Proof::security_level_bits (used by the reference CLI,
+        cli/src/main.rs:203): the FRI/query term
+        num_queries * log2(blowup) + pow_bits, capped by the field size
+        (a uniformly random field element collides with probability 1/|F|)
+        and by the commitment hash's collision resistance — without the
+        caps the formula over-reports, e.g. 65 queries at blowup 2 under a
+        20-byte masked digest is 80-bit, not 81-bit, secure."""
         import math
-        return int(self.num_queries * math.log2(self.lde_blowup_factor)
+        bits = int(self.num_queries * math.log2(self.lde_blowup_factor)
                    + self.proof_of_work_bits)
+        if field_bits is not None:
+            bits = min(bits, field_bits)
+        if collision_resistance_bits is not None:
+            bits = min(bits, collision_resistance_bits)
+        return bits

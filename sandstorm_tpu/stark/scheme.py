@@ -47,6 +47,8 @@ class GenericScheme:
     Blake2s public coin seeded from a canonical public-input serialization."""
 
     name = "generic"
+    # full Blake2s-256 digests: 128-bit collision resistance
+    COLLISION_RESISTANCE_BITS = 128
 
     def prewarm(self, F):
         """Build any device tables before the prove's arrays land (see
@@ -98,6 +100,8 @@ class EthVerifierScheme:
     """LeafVariant(MaskedKeccak256<20>) + Solidity coin (EthVerifierClaim)."""
 
     name = "eth"
+    # 20-byte masked Keccak digests: 80-bit collision resistance
+    COLLISION_RESISTANCE_BITS = 80
 
     def __init__(self):
         self.H = MaskedKeccak256HashFn(20)
@@ -140,6 +144,9 @@ class CairoVerifierScheme:
     """FriendlyMerkleTree<22, Pedersen> + Cairo coin (CairoVerifierClaim)."""
 
     name = "cairo"
+    # min(20-byte masked Blake2s rows/low layers = 80, Pedersen
+    # COLLISION_RESISTANCE = 125 — crypto/src/hash/pedersen.rs:77)
+    COLLISION_RESISTANCE_BITS = 80
 
     def __init__(self, n_friendly_layers: int = N_FRIENDLY_LAYERS):
         self.n_friendly = n_friendly_layers

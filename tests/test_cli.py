@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+# heavy tier: CLI end-to-end proves in-process
+pytestmark = pytest.mark.slow
+
 from sandstorm_tpu.cli import main
 from sandstorm_tpu.stark.verifier import VerificationError
 

@@ -8,6 +8,9 @@ the reference's ark-CanonicalSerialize byte layout.
 
 import pytest
 
+# heavy tier: full CPU end-to-end proves (minutes each)
+pytestmark = pytest.mark.slow
+
 from sandstorm_tpu.binary.formats import AirPrivateInput, CairoWitness, Layout
 from sandstorm_tpu.claims import CairoClaim
 from sandstorm_tpu.fields.fp252 import Fp252

@@ -28,7 +28,7 @@ from sandstorm_tpu.binary.formats import AirPublicInput
 from sandstorm_tpu.fields.fp252 import Fp252
 from sandstorm_tpu.layouts.recursive.air import RecursiveAirConfig
 from sandstorm_tpu.stark.ark import parse_proof
-from sandstorm_tpu.stark.interop import verify_ark
+from sandstorm_tpu.stark.verifier import verify_ark
 from sandstorm_tpu.stark.scheme import get_scheme
 from sandstorm_tpu.stark.verifier import VerificationError
 

@@ -13,6 +13,9 @@ import os
 import numpy as np
 import pytest
 
+# heavy tier: builds real-artifact traces up to the 2^21-row bootloader
+pytestmark = pytest.mark.slow
+
 from sandstorm_tpu.examples import load_artifacts
 from sandstorm_tpu.fields.fp252 import Fp252 as F
 

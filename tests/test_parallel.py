@@ -8,6 +8,7 @@ import random
 
 import numpy as np
 import jax
+import pytest
 
 from sandstorm_tpu.fields.goldilocks import GL
 from sandstorm_tpu.fields.fp252 import Fp252
@@ -104,6 +105,7 @@ print("MESH-PROVE-OK")
 """
 
 
+@pytest.mark.slow
 def test_mesh_prove_e2e_fp252():
     """The REAL prover pipeline runs SPMD over an 8-device mesh (VERDICT
     item: multi-chip proving integrated into prove() itself): trace
