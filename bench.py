@@ -25,6 +25,96 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 RUST_PROVER_STEPS_PER_SEC_ESTIMATE = 10_000.0
 
+# v5e HBM bandwidth for the utilization estimate (chip spec: ~819 GB/s)
+HBM_BYTES_PER_SEC = 819e9
+
+
+def _timed(fn, reps=3):
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        jax.device_get(jnp.ravel(x)[:1])
+
+    sync(fn())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _t.time()
+        sync(fn())
+        best = min(best, _t.time() - t0)
+    return best
+
+
+def ntt_metrics(n=1 << 19):
+    """The BASELINE north-star kernel number: NTT field-ops/sec/chip for a
+    size-2^19 fp252 transform (the recursive example's LDE size), plus raw
+    montmul throughput and an HBM-utilization estimate."""
+    import jax.numpy as jnp
+    from sandstorm_tpu.fields.fp252 import Fp252 as F
+    from sandstorm_tpu.ntt.ntt_pallas import batched_ntt_cols, pallas_ntt_ok
+    from sandstorm_tpu.fields.fp252_pallas import montmul_digitmajor
+    if not pallas_ntt_ok(F, n):
+        return {}
+    col = F.encode_ints_np([(i * 0x9E3779B97F4A7C15) % F.MODULUS
+                            for i in range(n)])
+    col = jnp.asarray(col)
+    t = _timed(lambda: batched_ntt_cols(F, [col], False)[0])
+    logn = n.bit_length() - 1
+    # butterflies: one montmul + one add + one sub each; plus ~2 full
+    # twiddle passes from the four-step inter-level multiplies
+    mults = n // 2 * logn + 2 * n
+    field_ops = 3 * (n // 2) * logn + 2 * n
+    dm = col.T.reshape(16, n) + 0
+    tm = _timed(lambda: montmul_digitmajor(dm, dm))
+    # NTT HBM traffic: ~2 passes (read+write) per four-step level (3
+    # levels at this size) over [n, 16] u32 data
+    bytes_moved = 6 * 2 * n * 64
+    return {
+        "ntt_field_ops_per_sec": round(field_ops / t, 0),
+        "ntt_mults_per_sec": round(mults / t, 0),
+        "ntt_2e19_ms": round(t * 1e3, 2),
+        "montmul_per_sec": round(n / tm, 0),
+        "ntt_hbm_util_est": round(bytes_moved / t / HBM_BYTES_PER_SEC, 3),
+    }
+
+
+def goldilocks_metrics(fp252_steps_per_sec, n_cycles=16384):
+    """BASELINE config #2: the Goldilocks plain-layout path at the same
+    16384-step scale as the headline fp252 run (reference's published
+    claim: GL is 5x faster than the 252-bit field, README.md:64)."""
+    import time as _t
+    from sandstorm_tpu.binary.formats import (AirPrivateInput, CairoWitness,
+                                              Layout)
+    from sandstorm_tpu.claims import CairoClaim
+    from sandstorm_tpu.fields.gl3 import GL3
+    from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,
+                                         instr_jmp_rel_imm)
+    from sandstorm_tpu.stark.options import ProofOptions
+
+    vm = CairoVM([instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0],
+                 GL3.MODULUS)
+    trace, mem = vm.run(n_cycles, initial_ap=6, extra_memory={5: 0})
+    registers, memory = vm.to_witness_arrays(trace, mem)
+    pub = vm.build_public_input(trace, mem, layout=Layout.PLAIN)
+    witness = CairoWitness(
+        air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
+        register_states=registers, memory=memory)
+    claim = CairoClaim(None, pub, field=GL3, layout=Layout.PLAIN,
+                       scheme="generic")
+    options = ProofOptions()
+    claim.prove(witness, options)  # warm-up (compile)
+    t0 = _t.time()
+    proof = claim.prove(witness, options)
+    gl_s = _t.time() - t0
+    assert claim.verify(proof, required_security_bits=0)
+    gl_rate = pub.n_steps / gl_s
+    return {
+        "gl_steps_per_sec": round(gl_rate, 2),
+        "gl_prove_s": round(gl_s, 3),
+        "gl_vs_fp252_ratio": round(gl_rate / fp252_steps_per_sec, 2),
+    }
+
 
 def main():
     # the axon TPU tunnel comes and goes, and a down tunnel HANGS backend
@@ -108,6 +198,20 @@ def main():
 
     assert claim.verify(proof, required_security_bits=0 if smoke else 80)
     steps_per_sec = pub.n_steps / elapsed
+    # snapshot the fp252 phase table BEFORE the extras run more proves
+    phases = dict(__import__(
+        "sandstorm_tpu.stark.prover", fromlist=["LAST_PHASES"]).LAST_PHASES)
+
+    extra = {}
+    if not smoke and os.environ.get("SANDSTORM_BENCH_NO_EXTRAS") != "1":
+        try:
+            extra.update(ntt_metrics())
+        except Exception as e:  # never lose the headline number
+            extra["ntt_metric_error"] = repr(e)[:200]
+        try:
+            extra.update(goldilocks_metrics(steps_per_sec))
+        except Exception as e:
+            extra["gl_metric_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "cairo_steps_proved_per_sec",
         "value": round(steps_per_sec, 2),
@@ -123,9 +227,8 @@ def main():
             "first_run_s": round(warm, 3),
             "proof_bytes": len(serialize_proof(proof)),
             "backend": __import__("jax").default_backend(),
-            "phases": dict(__import__(
-                "sandstorm_tpu.stark.prover", fromlist=["LAST_PHASES"]
-            ).LAST_PHASES),
+            "phases": phases,
+            **extra,
         },
     }))
 

@@ -568,9 +568,114 @@ def _xpow_keys(exprs, N):
     return sorted(set(keys))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _group_eval_jit(F, exprs, N, blowup, xkeys, columns, challenges, hints,
-                    periodic, xpows, coeffs):
+_DOMAIN_ONLY_OPS = {"X", "const", "pow", "add", "sub", "mul", "neg", "inv"}
+
+
+def _domain_only_invs(exprs):
+    """The inv nodes whose subtree is pure domain arithmetic (X/const
+    leaves only) — i.e. the zerofier inverses.  Their values depend on
+    (field, N, coset) but not on the trace, so they are hoisted out of the
+    per-group jit and cached across groups AND proves: the boundary
+    zerofiers 1/(X - g^k) have full-domain period and each cost a
+    length-N batch inversion (two log-N scans + one Fermat chain, ~50ms at
+    N=2^19) when recomputed inside every constraint group."""
+    dom = {}
+
+    def is_dom(n_):
+        got = dom.get(id(n_))
+        if got is not None:
+            return got
+        ok = n_.key[0] in _DOMAIN_ONLY_OPS and all(is_dom(a)
+                                                   for a in n_.args)
+        dom[id(n_)] = ok
+        return ok
+
+    out, seen = [], set()
+    for n_ in walk(exprs):
+        if n_.key[0] == "inv" and n_.key not in seen and is_dom(n_):
+            seen.add(n_.key)
+            out.append(n_)
+    return out
+
+
+def _eval_domain_node(F, n_, x_pow_fn, N, memo):
+    """Eager (non-jit) evaluation of a domain-only subtree -> (arr, period).
+    X-powers come from the caller's cached tables; everything else is a
+    handful of short-period device ops."""
+    r = memo.get(id(n_))
+    if r is not None:
+        return r
+    k = n_.key
+    op = k[0]
+    if op == "X":
+        r = (x_pow_fn(1, N), N)
+    elif op == "const":
+        r = (F.encode_int(k[1]), 0)
+    elif op == "pow" and n_.args[0].key[0] == "X":
+        e = k[2]
+        period = N // math.gcd(N, e)
+        r = (x_pow_fn(e, period), period)
+    elif op in ("add", "sub", "mul"):
+        a, pa = _eval_domain_node(F, n_.args[0], x_pow_fn, N, memo)
+        b, pb = _eval_domain_node(F, n_.args[1], x_pow_fn, N, memo)
+        pr = max(pa, pb)
+
+        def t(v, p):
+            if p == pr:
+                return v
+            if p == 0:
+                return jnp.broadcast_to(v, (pr,) + v.shape)
+            return jnp.tile(v, (pr // p, 1))
+
+        r = (getattr(F, op)(t(a, pa), t(b, pb)), pr)
+    elif op == "neg":
+        a, pa = _eval_domain_node(F, n_.args[0], x_pow_fn, N, memo)
+        r = (F.neg(a), pa)
+    elif op == "pow":
+        a, pa = _eval_domain_node(F, n_.args[0], x_pow_fn, N, memo)
+        r = (F.pow_static(a, k[2]), pa)
+    elif op == "inv":
+        a, pa = _eval_domain_node(F, n_.args[0], x_pow_fn, N, memo)
+        r = (F.inv(a), 0) if pa == 0 else (F.batch_inv(a, axis=0), pa)
+    else:  # pragma: no cover
+        raise ValueError(f"non-domain node {op}")
+    memo[id(n_)] = r
+    return r
+
+
+def _domain_period(n_, N):
+    """Structural period of a domain-only subtree (all periods divide N,
+    so max == lcm; 0 = scalar)."""
+    k = n_.key
+    op = k[0]
+    if op == "X":
+        return N
+    if op == "const":
+        return 0
+    if op == "pow" and n_.args[0].key[0] == "X":
+        return N // math.gcd(N, k[2])
+    return max((_domain_period(a, N) for a in n_.args), default=0)
+
+
+def _hoisted_zinvs(F, exprs, ctx, N):
+    """{node key -> (arr, period)} for every domain-only inv node, served
+    from the per-process device LRU (ntt/ntt_pallas._dev) so a steady-state
+    prove pays zero zerofier-inversion work."""
+    from ..ntt.ntt_pallas import _dev
+    out = {}
+    memo = {}
+    fname = getattr(F, "NAME", F.__class__.__name__)
+    for n_ in _domain_only_invs(exprs):
+        key = ("zinv", fname, n_.key, N, ctx.coset)
+        arr = _dev(key, lambda n_=n_: _eval_domain_node(
+            F, n_, ctx.x_pow_fn, N, memo)[0])
+        out[n_.key] = (arr, _domain_period(n_, N))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _group_eval_jit(F, exprs, N, blowup, xkeys, zkeys, zperiods, columns,
+                    challenges, hints, periodic, xpows, zvals, coeffs):
     """One fused device dispatch: evaluate a tuple of constraint
     expressions over the full domain and return sum_i coeffs[i] * C_i.
 
@@ -629,8 +734,13 @@ def _group_eval_jit(F, exprs, N, blowup, xkeys, columns, challenges, hints,
                 a, pa = ev(base)
                 r = (F.pow_static(a, e), pa)
         elif op == "inv":
-            v, pv = ev(n_.args[0])
-            r = (F.inv(v), 0) if pv == 0 else (F.batch_inv(v, axis=0), pv)
+            if k in zkeys:
+                i = zkeys.index(k)
+                r = (zvals[i], zperiods[i])  # hoisted zerofier inverse
+            else:
+                v, pv = ev(n_.args[0])
+                r = (F.inv(v), 0) if pv == 0 \
+                    else (F.batch_inv(v, axis=0), pv)
         else:  # pragma: no cover
             raise ValueError(f"unknown node {op}")
         memo[id(n_)] = r
@@ -923,18 +1033,24 @@ def evaluate_lde_folded(exprs, ctx: LdeContext, domain_size: int,
     periodic = tuple(pc() for pc in ctx.periodic)
     challenges = tuple(ctx.challenges)
     hints = tuple(ctx.hints)
+    zinvs = _hoisted_zinvs(F, exprs, ctx, N)
     acc = None
     for s in range(0, len(exprs), group_size):
         grp = tuple(exprs[s:s + group_size])
         xkeys = tuple(_xpow_keys(grp, N))
         xpows = tuple(ctx.x_pow_fn(e, period) for (e, period) in xkeys)
+        grp_keys = {n_.key for n_ in walk(grp)}
+        zkeys = tuple(k for k in zinvs if k in grp_keys)
+        zvals = tuple(zinvs[k][0] for k in zkeys)
+        zperiods = tuple(zinvs[k][1] for k in zkeys)
         cols = {c: ctx.columns[c] for c in
                 sorted({n_.key[1] for n_ in walk(grp)
                         if n_.key[0] == "trace"})}
         coeffs = jnp.stack([F.encode_int(c)
                             for c in fold_coeffs[s:s + group_size]])
-        part = _group_eval_jit(F, grp, N, ctx.blowup, xkeys, cols,
-                               challenges, hints, periodic, xpows, coeffs)
+        part = _group_eval_jit(F, grp, N, ctx.blowup, xkeys, zkeys,
+                               zperiods, cols, challenges, hints, periodic,
+                               xpows, zvals, coeffs)
         acc = part if acc is None else F.add(acc, part)
     return acc
 

@@ -107,6 +107,116 @@ def _field_add_tile(a, b):
     return _cond_sub_p_tile(out, zero)
 
 
+def _field_sub_tile(a, b):
+    """Field subtract of two digit-register lists (both < p)."""
+    zero = jnp.zeros_like(a[0])
+    out = []
+    borrow = zero
+    for k in range(NDIGITS):
+        v = a[k] - b[k] - borrow
+        out.append(v & M16)
+        borrow = v >> 31  # digits < 2^16 so v > -2^17: sign bit = borrow
+    addp = []
+    carry = zero
+    for k in range(NDIGITS):
+        v = out[k] + np.uint32(P_DIGITS[k]) + carry
+        addp.append(v & M16)
+        carry = v >> 16
+    neg = borrow.astype(jnp.bool_)
+    return [jnp.where(neg, ap, o) for ap, o in zip(addp, out)]
+
+
+def _dbl_tile(a):
+    return _field_add_tile(a, a)
+
+
+def _ec_madd_tile(X, Y, Z, x2, y2):
+    """Mixed Jacobian+affine point add (madd-2007-bl; 7M + 4S) on
+    digit-register lists.  The curve parameter a only enters doubling
+    formulas, so the subset-sum walk (hashing/pedersen_tpu.py) is exact
+    for the Starkware curve.  Returns (X3, Y3, Z3)."""
+    Z1Z1 = _montmul_tile(Z, Z)
+    U2 = _montmul_tile(x2, Z1Z1)
+    S2 = _montmul_tile(y2, _montmul_tile(Z, Z1Z1))
+    H = _field_sub_tile(U2, X)
+    HH = _montmul_tile(H, H)
+    I = _dbl_tile(_dbl_tile(HH))
+    J = _montmul_tile(H, I)
+    r = _dbl_tile(_field_sub_tile(S2, Y))
+    V = _montmul_tile(X, I)
+    X3 = _field_sub_tile(_field_sub_tile(_montmul_tile(r, r), J),
+                         _dbl_tile(V))
+    Y3 = _field_sub_tile(_montmul_tile(r, _field_sub_tile(V, X3)),
+                         _dbl_tile(_montmul_tile(Y, J)))
+    ZH = _field_add_tile(Z, H)
+    Z3 = _field_sub_tile(_field_sub_tile(_montmul_tile(ZH, ZH), Z1Z1), HH)
+    return X3, Y3, Z3
+
+
+def _ec_madd_kernel(x_ref, y_ref, z_ref, x2_ref, y2_ref, skip_ref,
+                    ox_ref, oy_ref, oz_ref):
+    """One fused window step of the Pedersen subset-sum walk: the whole
+    11-montmul mixed add runs in VMEM (the per-op XLA formulation paid a
+    dispatch + two layout transposes per montmul)."""
+    X = [x_ref[i] for i in range(NDIGITS)]
+    Y = [y_ref[i] for i in range(NDIGITS)]
+    Z = [z_ref[i] for i in range(NDIGITS)]
+    x2 = [x2_ref[i] for i in range(NDIGITS)]
+    y2 = [y2_ref[i] for i in range(NDIGITS)]
+    X3, Y3, Z3 = _ec_madd_tile(X, Y, Z, x2, y2)
+    skip = skip_ref[0] != 0
+    for i in range(NDIGITS):
+        ox_ref[i] = jnp.where(skip, X[i], X3[i])
+        oy_ref[i] = jnp.where(skip, Y[i], Y3[i])
+        oz_ref[i] = jnp.where(skip, Z[i], Z3[i])
+
+
+# madd kernel sublane block: the 11 chained montmuls keep ~2MB of digit
+# temporaries live per 32-sublane block; 32 keeps the whole working set
+# comfortably inside VMEM
+SB_EC = 32
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ec_madd_digitmajor(X, Y, Z, x2, y2, skip, interpret=False):
+    """Batched mixed add on digit-major [16, n] u32 arrays (Montgomery);
+    n a multiple of 1024 (rows=n/128 a multiple of SB_EC, or <= SB_EC and
+    a multiple of 8); skip: [n] nonzero -> keep (X, Y, Z)."""
+    n = X.shape[1]
+    npad = _pad_to(n, 8 * 128)
+    if npad > SB_EC * 128:
+        npad = _pad_to(n, SB_EC * 128)  # grid steps need rows % sb == 0
+    if npad != n:
+        pad = ((0, 0), (0, npad - n))
+        X, Y, Z, x2, y2 = (jnp.pad(a, pad) for a in (X, Y, Z, x2, y2))
+        # padding lanes take the skip branch (copy X through unchanged)
+        skip = jnp.pad(skip.astype(jnp.uint32), (0, npad - n),
+                       constant_values=1)
+    rows = npad // 128
+    sb = rows if rows <= SB_EC else SB_EC
+    grid = (rows // sb,)
+    spec = pl.BlockSpec((NDIGITS, sb, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, sb, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    shaped = [a.reshape(NDIGITS, rows, 128) for a in (X, Y, Z, x2, y2)]
+    sk = skip.astype(jnp.uint32).reshape(1, rows, 128)
+    out_shape = [jax.ShapeDtypeStruct((NDIGITS, rows, 128), X.dtype)] * 3
+    ox, oy, oz = pl.pallas_call(
+        _ec_madd_kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[spec] * 5 + [sspec],
+        out_specs=[spec] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*shaped, sk)
+    return (ox.reshape(NDIGITS, npad)[:, :n],
+            oy.reshape(NDIGITS, npad)[:, :n],
+            oz.reshape(NDIGITS, npad)[:, :n])
+
+
 def _montmul_kernel(a_ref, b_ref, o_ref):
     """a_ref/b_ref/o_ref: [16, SB, 128] digit-major blocks.
 
@@ -178,29 +288,19 @@ def montmul_rows(a, b):
 # Fused multi-point multi-column polynomial opening (the OODS hot kernel)
 # ---------------------------------------------------------------------------
 
-def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
-    """Grid step i covers element tile [i*T, (i+1)*T), T = SBt*128.
+def _open_pairs_kernel(kidx_ref, cidx_ref, cols_ref, lo_ref, hi_ref,
+                       out_ref):
+    """Pair-indexed opener: out[p] += cols[cidx[p]] * (hi[kidx[p], i] *
+    lo[kidx[p]]) for each requested (point, column) pair.
 
-    cols_ref: [C, 16, SBt, 128] coefficient tile (digit-major, sublane-
-              blocked: SBt sublanes x 128 lanes per digit slice so the VPU
-              runs at full occupancy)
-    lo_ref:   [K, 16, SBt, 128] per-point low powers (pt^0..pt^(T-1))
-    hi_ref:   [K, 16, A] per-point high powers ((pt^T)^0..), full block;
-              step i's value is extracted with a masked lane reduction
-              (single-lane vector loads need 128-aligned lane indices on
-              TPU, so dynamic lane extraction is expressed as
-              sum(where(lane == i, hi, 0)))
-    out_ref:  [K, C, 16, SBt, 128] running partial sums, same block every
-              step
-
-    For tile i the needed powers are pt^(i*T + j) = hi[i] * lo[j], so each
-    point costs ONE broadcast montmul per tile and the coefficient data is
-    read from HBM exactly once for ALL K points.  Partial sums stay as
-    [16, SBt, 128] field elements; the final T->1 reduction happens
-    outside (it is tiny).
-    """
-    C = cols_ref.shape[0]
+    The dense K x C variant (_open_kernel) evaluated every column at every
+    point; the AIR only needs its trace arguments (~133 of ~876 pairs for
+    the recursive layout), so the pair list arrives as scalar-prefetch
+    index vectors and the kernel does 2 montmuls per PAIR per tile
+    (zp recomputed per pair — caching it per distinct point would need
+    data-dependent control flow for a <2x op saving)."""
     K = lo_ref.shape[0]
+    P = out_ref.shape[0]
     SBt = cols_ref.shape[2]
     A = hi_ref.shape[2]
     i = pl.program_id(0)
@@ -210,67 +310,67 @@ def _open_kernel(cols_ref, lo_ref, hi_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    def point_body(k, _):
-        # Mosaic can't reduce unsigned ints; digits are < 2^16 so the
-        # masked lane reduction is exact in int32
+    def pair_body(p, _):
+        k = kidx_ref[p]
+        c = cidx_ref[p]
         hi_k = [jnp.sum(jnp.where(lane_is_i,
-                                  hi_ref[k, d:d + 1, :].astype(jnp.int32), 0),
+                                  hi_ref[k, d:d + 1, :].astype(jnp.int32),
+                                  0),
                         axis=1, keepdims=True).astype(jnp.uint32)
                 for d in range(NDIGITS)]
         lo_k = [lo_ref[k, d] for d in range(NDIGITS)]
         zp = _montmul_tile(
             [jnp.broadcast_to(h[:, :, None], (1, SBt, 128)).reshape(SBt, 128)
              for h in hi_k], lo_k)
-
-        def col_body(c, _):
-            col = [cols_ref[c, d] for d in range(NDIGITS)]
-            prod = _montmul_tile(col, zp)
-            acc = [out_ref[k, c, d] for d in range(NDIGITS)]
-            new = _field_add_tile(acc, prod)
-            out_ref[k, c] = jnp.stack(new, axis=0)
-            return 0
-
-        jax.lax.fori_loop(0, C, col_body, 0)
+        col = [cols_ref[c, d] for d in range(NDIGITS)]
+        prod = _montmul_tile(col, zp)
+        acc = [out_ref[p, d] for d in range(NDIGITS)]
+        new = _field_add_tile(acc, prod)
+        out_ref[p] = jnp.stack(new, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, K, point_body, 0)
+    jax.lax.fori_loop(0, P, pair_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_pairs", "interpret"))
+def open_pairs_partials(cols_dm, lo_dm, hi_dm, kidx, cidx, num_pairs,
+                        interpret=False):
+    """cols [C, 16, n], lo [K, 16, T], hi [K, 16, n//T] (Montgomery,
+    digit-major, T = SBT*128), kidx/cidx [P] i32 -> [P, 16, SBT, 128]
+    partial field sums of sum_i cols[cidx[p], :, i] * pt_{kidx[p]}^i."""
+    C, _, n = cols_dm.shape
+    K, _, T = lo_dm.shape
+    assert T == SBT * 128
+    A = n // T
+    cols4 = cols_dm.reshape(C, NDIGITS, n // 128, 128)
+    lo4 = lo_dm.reshape(K, NDIGITS, SBT, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((C, NDIGITS, SBT, 128), lambda i, *_: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NDIGITS, SBT, 128), lambda i, *_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NDIGITS, A), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_pairs, NDIGITS, SBT, 128),
+                               lambda i, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _open_pairs_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_pairs, NDIGITS, SBT, 128),
+                                       cols_dm.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(kidx, cidx, cols4, lo4, hi_dm)
 
 
 # opener tile: 8 sublanes x 128 lanes
 SBT = 8
 
 
-@jax.jit
-def open_partials(cols_dm, lo_dm, hi_dm):
-    """cols [C, 16, n], lo [K, 16, T], hi [K, 16, n//T] (Montgomery,
-    digit-major, T = SBT*128) -> [K, C, 16, SBT, 128] partial field sums
-    of sum_i cols[c, :, i] * (hi[k, :, i//T] * lo[k, :, i%T])."""
-    C, _, n = cols_dm.shape
-    K, _, T = lo_dm.shape
-    assert T == SBT * 128
-    A = n // T
-    assert hi_dm.shape == (K, NDIGITS, A)
-    cols4 = cols_dm.reshape(C, NDIGITS, n // 128, 128)
-    lo4 = lo_dm.reshape(K, NDIGITS, SBT, 128)
-    grid = (A,)
-    return pl.pallas_call(
-        _open_kernel,
-        out_shape=jax.ShapeDtypeStruct((K, C, NDIGITS, SBT, 128),
-                                       cols_dm.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((C, NDIGITS, SBT, 128), lambda i: (0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, NDIGITS, SBT, 128), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, NDIGITS, A), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((K, C, NDIGITS, SBT, 128),
-                               lambda i: (0, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        # the [K, C, 16, SBT, 128] accumulator block alone is ~20MB; the
-        # default 16MB scoped-vmem cap rejects the kernel (v5e has 128MB)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(cols4, lo4, hi_dm)

@@ -236,9 +236,12 @@ class GL3:
         return jnp.asarray(out)
 
     @staticmethod
-    def decode(arr):
-        """[..., 6] -> numpy object array of packed python ints."""
-        a = np.asarray(jax.device_get(arr), dtype=np.uint64)
+    def to_canonical_dev(arr):
+        return arr  # not a Montgomery representation
+
+    @staticmethod
+    def decode_np(a_np):
+        a = np.asarray(a_np, dtype=np.uint64)
         c0 = a[..., 0] | (a[..., 1] << np.uint64(32))
         c1 = a[..., 2] | (a[..., 3] << np.uint64(32))
         c2 = a[..., 4] | (a[..., 5] << np.uint64(32))
@@ -248,6 +251,11 @@ class GL3:
             k = it.multi_index
             out[k] = pack(int(c0[k]), int(c1[k]), int(c2[k]))
         return out
+
+    @classmethod
+    def decode(cls, arr):
+        """[..., 6] -> numpy object array of packed python ints."""
+        return cls.decode_np(np.asarray(jax.device_get(arr)))
 
     @classmethod
     def decode_ints(cls, arr):

@@ -93,10 +93,18 @@ class GL:
         return cls.encode_u64(arr[..., 0])
 
     @staticmethod
+    def to_canonical_dev(arr):
+        return arr  # not a Montgomery representation
+
+    @staticmethod
+    def decode_np(a_np):
+        a = np.asarray(a_np, dtype=np.uint64)
+        return (a[..., 0] | (a[..., 1] << np.uint64(32)))
+
+    @staticmethod
     def decode(arr):
         """[..., 2] uint32 array -> numpy object array of python ints."""
-        a = np.asarray(jax.device_get(arr), dtype=np.uint64)
-        return (a[..., 0] | (a[..., 1] << np.uint64(32)))
+        return GL.decode_np(np.asarray(jax.device_get(arr)))
 
     @classmethod
     def decode_ints(cls, arr):

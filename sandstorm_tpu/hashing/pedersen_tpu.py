@@ -197,47 +197,35 @@ def _hash_pairs_core(F, a_dig, b_dig, tables, shift):
     return F.from_mont(x_aff)           # canonical digits
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _hash_pairs_core16(F, a_dig, b_dig, tables16, shift):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _hash_pairs_core16(F, a_dig, b_dig, tables16, interpret, shift):
     """16-bit-window variant of _hash_pairs_core: the canonical 16-bit
-    digits ARE the window values, so the subset-sum walk is 32 mixed adds.
+    digits ARE the window values, so the subset-sum walk is 32 mixed adds,
+    each ONE fused Pallas dispatch (fields/fp252_pallas.py ec_madd kernel:
+    the whole 7M+4S madd formula stays in VMEM; the per-op XLA form paid a
+    dispatch plus two digit-layout transposes per montmul).
 
     tables16: [32, 65536, 2, 16] (windows 0-15 scalar a, 16-31 scalar b).
     """
+    from ..fields.fp252_pallas import ec_madd_digitmajor
     M = a_dig.shape[0]
     v = jnp.concatenate([a_dig.T, b_dig.T], axis=0).astype(jnp.int32)
 
-    X = jnp.broadcast_to(shift[0], (M, 16))
-    Y = jnp.broadcast_to(shift[1], (M, 16))
-    Z = F.ones((M,))
+    X = jnp.broadcast_to(shift[0], (M, 16)).T  # digit-major [16, M]
+    Y = jnp.broadcast_to(shift[1], (M, 16)).T
+    Z = F.ones((M,)).T
 
     def body(carry, xs):
         X, Y, Z = carry
         tbl, vw = xs
         t = jnp.take(tbl, vw, axis=0)  # [M, 2, 16]
-        x2, y2 = t[:, 0], t[:, 1]
-        Z1Z1 = F.sqr(Z)
-        U2 = F.mul(x2, Z1Z1)
-        S2 = F.mul(y2, F.mul(Z, Z1Z1))
-        H = F.sub(U2, X)
-        HH = F.sqr(H)
-        I2 = F.add(HH, HH)
-        I = F.add(I2, I2)
-        J = F.mul(H, I)
-        r = F.sub(S2, Y)
-        r = F.add(r, r)
-        V = F.mul(X, I)
-        X3 = F.sub(F.sub(F.sqr(r), J), F.add(V, V))
-        YJ = F.mul(Y, J)
-        Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(YJ, YJ))
-        Z3 = F.sub(F.sub(F.sqr(F.add(Z, H)), Z1Z1), HH)
-        skip = (vw == 0)[:, None]
-        X = jnp.where(skip, X, X3)
-        Y = jnp.where(skip, Y, Y3)
-        Z = jnp.where(skip, Z, Z3)
+        x2, y2 = t[:, 0].T, t[:, 1].T
+        X, Y, Z = ec_madd_digitmajor(X, Y, Z, x2, y2, vw == 0,
+                                     interpret=interpret)
         return (X, Y, Z), None
 
     (X, Y, Z), _ = jax.lax.scan(body, (X, Y, Z), (tables16, v))
+    X, Z = X.T, Z.T
     z_inv = F.batch_inv(Z, 0)
     x_aff = F.mul(X, F.sqr(z_inv))
     return F.from_mont(x_aff)
@@ -246,9 +234,10 @@ def _hash_pairs_core16(F, a_dig, b_dig, tables16, shift):
 def hash_pairs_digits(F, a_dig, b_dig):
     """pedersen(a, b) over canonical [M, 16] u32 digit arrays (device)."""
     if _use_wide_windows():
+        from ..ntt.ntt_pallas import _interpret
         t16 = _tables16_dev(F)
         _, s = _tables_dev()
-        return _hash_pairs_core16(F, a_dig, b_dig, t16, s)
+        return _hash_pairs_core16(F, a_dig, b_dig, t16, _interpret(), s)
     t, s = _tables_dev()
     return _hash_pairs_core(F, a_dig, b_dig, t, s)
 

@@ -187,15 +187,9 @@ class PlainExecutionTrace:
     def base_columns(self):
         """dict col -> [n, L] device arrays in the field's mul domain."""
         if self._device_cols is None:
-            keys = sorted(self.base_cols_canonical)
-            if hasattr(self.F, "encode_canonical_u64_many"):
-                # one fused host->device transfer for the whole column set
-                encoded = self.F.encode_canonical_u64_many(
-                    [self.base_cols_canonical[i] for i in keys])
-            else:
-                encoded = [self.F.encode_canonical_u64(
-                    self.base_cols_canonical[i]) for i in keys]
-            self._device_cols = dict(zip(keys, encoded))
+            from ..utils import upload_base_columns
+            self._device_cols = upload_base_columns(
+                self.F, self.base_cols_canonical)
         return self._device_cols
 
     def build_extension_columns(self, challenges):

@@ -173,3 +173,28 @@ class BoundPeriodicColumn:
         for c in reversed(self.column.coeffs):
             acc = (acc * xe + c) % p
         return acc
+
+
+def upload_base_columns(F, cols_dict):
+    """Canonical base columns (dict idx -> numpy [n, 4] u64 LE words) ->
+    dict idx -> device [n, L] arrays in the field's mul domain.
+
+    Trims each column to its populated word count before the transfer when
+    the field supports the mixed-width upload (fp252's
+    encode_canonical_mixed): most base columns are narrow (flags/rc cells
+    < 2^16, diluted pools < 2^62), and the tunneled host->device link is
+    the base-commit phase's bottleneck."""
+    keys = sorted(cols_dict)
+    if hasattr(F, "encode_canonical_mixed"):
+        packed = []
+        for i in keys:
+            c = np.asarray(cols_dict[i], dtype=np.uint64)
+            k = c.shape[1]
+            while k > 1 and not c[:, k - 1].any():
+                k -= 1
+            packed.append(c[:, :k])
+        return dict(zip(keys, F.encode_canonical_mixed(packed)))
+    if hasattr(F, "encode_canonical_u64_many"):
+        return dict(zip(keys, F.encode_canonical_u64_many(
+            [cols_dict[i] for i in keys])))
+    return {i: F.encode_canonical_u64(cols_dict[i]) for i in keys}

@@ -40,21 +40,62 @@ def _path_gather_kernel(nlevels: int):
     return f
 
 
+def _sibling_stack_dev(levels, indices):
+    """Device [nlevels, Q, W] sibling rows for the queries (one gather)."""
+    idx = jnp.asarray(list(indices), dtype=jnp.int32)
+    return _path_gather_kernel(len(levels))(tuple(levels), idx)
+
+
 def _sibling_stack(levels, indices):
     """numpy [nlevels, Q, W] sibling rows for the queries (one transfer)."""
-    idx = jnp.asarray(list(indices), dtype=jnp.int32)
-    sibs = _path_gather_kernel(len(levels))(tuple(levels), idx)
-    return np.asarray(jax.device_get(sibs))
+    return np.asarray(jax.device_get(_sibling_stack_dev(levels, indices)))
+
+
+class FetchPlan:
+    """Batches many small device->host reads into ONE transfer.
+
+    Every queued array is raveled into a single u32 buffer (one device
+    concat dispatch) and fetched with one device_get: through the
+    tunneled TPU each separate fetch pays a ~24ms round trip, and query
+    assembly makes ~16 of them per prove.  add() returns a handle;
+    run() resolves every handle to its numpy array."""
+
+    def __init__(self):
+        self._arrays = []
+        self._shapes = []
+
+    def add(self, arr):
+        assert arr.dtype == jnp.uint32, arr.dtype
+        self._arrays.append(jnp.ravel(arr))
+        self._shapes.append(tuple(arr.shape))
+        return len(self._arrays) - 1
+
+    def run(self):
+        if not self._arrays:
+            return []
+        flat = (jnp.concatenate(self._arrays) if len(self._arrays) > 1
+                else self._arrays[0])
+        host = np.asarray(jax.device_get(flat))
+        out, off = [], 0
+        for sh in self._shapes:
+            size = int(np.prod(sh)) if sh else 1
+            out.append(host[off:off + size].reshape(sh))
+            off += size
+        return out
+
+
+def _digest_paths_np(sibs, nq):
+    """[nlev, Q, W] numpy sibling words -> per-query 32-byte path lists."""
+    return [[b"".join(int(w).to_bytes(4, "little") for w in sibs[l, qi])
+             for l in range(sibs.shape[0])]
+            for qi in range(nq)]
 
 
 def _batched_paths(levels, indices):
     """Sibling digests -> list (per query) of 32-byte path strings."""
     if not levels:
         return [[] for _ in indices]
-    sibs = _sibling_stack(levels, indices)
-    return [[b"".join(int(w).to_bytes(4, "little") for w in sibs[l, qi])
-             for l in range(sibs.shape[0])]
-            for qi in range(len(indices))]
+    return _digest_paths_np(_sibling_stack(levels, indices), len(indices))
 
 
 class MerkleTree:
@@ -92,7 +133,20 @@ class MerkleTree:
         """Paths for many indices: ONE fused device gather + transfer for
         the whole tree (pulling full levels to host moves hundreds of MB;
         eager per-level gathers pay a round trip per level)."""
-        return _batched_paths(self._levels[:-1], indices)
+        plan = FetchPlan()
+        finish = self.plan_paths(indices, plan)
+        return finish(plan.run())
+
+    def plan_paths(self, indices, plan: FetchPlan):
+        """Queue this tree's sibling gather on `plan`; returns a
+        finish(results) -> paths closure (the query phase batches every
+        tree's fetch into one transfer)."""
+        levels = self._levels[:-1]
+        if not levels:
+            return lambda res: [[] for _ in indices]
+        h = plan.add(_sibling_stack_dev(levels, indices))
+        nq = len(list(indices))
+        return lambda res: _digest_paths_np(res[h], nq)
 
     @staticmethod
     def verify(root: bytes, index: int, leaf_digest: bytes, path) -> bool:
@@ -250,37 +304,50 @@ class FriendlyMerkleTreeFast:
         return self.prove_batch([index])[0]
 
     def prove_batch(self, indices):
-        """32-byte siblings leaf->root per query.  The last blake level and
-        felt level 0 are the same tree level (a boundary conversion, not a
-        merge), and a boundary felt's big-endian serialization IS the
-        digest's byte string — so every sibling serializes uniformly.
+        plan = FetchPlan()
+        finish = self.plan_paths(indices, plan)
+        return finish(plan.run())
 
-        Blake and device felt siblings gather fused on device (one round
-        trip per tree); the native-hashed top levels index numpy arrays.
+    def plan_paths(self, indices, plan: FetchPlan):
+        """32-byte siblings leaf->root per query (two-phase: device
+        gathers queued on `plan`, host path assembly in the returned
+        finish closure).  The last blake level and felt level 0 are the
+        same tree level (a boundary conversion, not a merge), and a
+        boundary felt's big-endian serialization IS the digest's byte
+        string — so every sibling serializes uniformly.
+
         _felt_dev (when present) holds felt levels 0..d with level d
         duplicated as _felt_levels[0], so device siblings come from
         _felt_dev[:-1] and host siblings from _felt_levels[:-1]."""
         idx = [int(i) for i in indices]
-        paths = _batched_paths(self._blake_levels[:-1], idx)
+        bl = self._blake_levels[:-1]
+        hb = plan.add(_sibling_stack_dev(bl, idx)) if bl else None
         shift = max(len(self._blake_levels) - 1, 0)
-        cur = [q >> shift for q in idx]
-        if len(self._felt_dev) > 1:
-            dev = self._felt_dev[:-1]
-            sibs = _sibling_stack(dev, cur)  # [nlev, Q, 16] digits
-            for lvl in sibs.astype(np.uint64):
+        cur0 = [q >> shift for q in idx]
+        dev = self._felt_dev[:-1]
+        hf = plan.add(_sibling_stack_dev(dev, cur0)) \
+            if len(self._felt_dev) > 1 else None
+
+        def finish(res):
+            paths = (_digest_paths_np(res[hb], len(idx)) if hb is not None
+                     else [[] for _ in idx])
+            cur = list(cur0)
+            if hf is not None:
+                for lvl in res[hf].astype(np.uint64):  # [Q, 16] digits
+                    for q in range(len(idx)):
+                        v = 0
+                        for k in range(16):
+                            v |= int(lvl[q, k]) << (16 * k)
+                        paths[q].append(v.to_bytes(32, "big"))
+                cur = [q >> len(dev) for q in cur]
+            for level in self._felt_levels[:-1]:
                 for q in range(len(idx)):
-                    v = 0
-                    for k in range(16):
-                        v |= int(lvl[q, k]) << (16 * k)
-                    paths[q].append(v.to_bytes(32, "big"))
-            cur = [q >> len(dev) for q in cur]
-        for level in self._felt_levels[:-1]:
-            for q in range(len(idx)):
-                sib = level[cur[q] ^ 1]
-                paths[q].append(int.from_bytes(sib.tobytes(), "little")
-                                .to_bytes(32, "big"))
-            cur = [q >> 1 for q in cur]
-        return paths
+                    sib = level[cur[q] ^ 1]
+                    paths[q].append(int.from_bytes(sib.tobytes(), "little")
+                                    .to_bytes(32, "big"))
+                cur = [q >> 1 for q in cur]
+            return paths
+        return finish
 
 
 class MaskedKeccakMerkleTree:
@@ -337,3 +404,11 @@ class MaskedKeccakMerkleTree:
 
     def prove_batch(self, indices):
         return _batched_paths(self._levels[:-1], indices)
+
+    def plan_paths(self, indices, plan: FetchPlan):
+        levels = self._levels[:-1]
+        if not levels:
+            return lambda res: [[] for _ in indices]
+        h = plan.add(_sibling_stack_dev(levels, indices))
+        nq = len(list(indices))
+        return lambda res: _digest_paths_np(res[h], nq)

@@ -36,31 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.fp252_pallas import (M16, NDIGITS, P_DIGITS, _field_add_tile,
-                                   _montmul_tile)
+                                   _field_sub_tile, _montmul_tile)
 
 # leaf transform cap: block [16, M, TB] u32 = M*8KB; M=256 keeps the
 # montmul's ~33 loose digit temporaries ([M/2, TB] each) well inside VMEM
 M_MAX = 256
 TB = 128
-
-
-def _field_sub_tile(a, b):
-    """Field subtract of two digit-register lists (both < p)."""
-    zero = jnp.zeros_like(a[0])
-    out = []
-    borrow = zero
-    for k in range(NDIGITS):
-        v = a[k] - b[k] - borrow
-        out.append(v & M16)
-        borrow = v >> 31  # digits < 2^16 so v > -2^17: sign bit = borrow
-    addp = []
-    carry = zero
-    for k in range(NDIGITS):
-        v = out[k] + np.uint32(P_DIGITS[k]) + carry
-        addp.append(v & M16)
-        carry = v >> 16
-    neg = borrow.astype(jnp.bool_)
-    return [jnp.where(neg, ap, o) for ap, o in zip(addp, out)]
 
 
 def _ntt_kernel(x_ref, tw_ref, o_ref):

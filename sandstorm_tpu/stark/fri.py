@@ -186,32 +186,47 @@ class FriProver:
         self.remainder = ints[:bound]
         return self.remainder
 
-    def open_ark(self, indices):
-        """Per-layer deduped leaf openings in the ark wire form
-        (miniSTARK FriProof layers: values + MerkleViews per sorted unique
-        folded leaf — crypto/src/merkle/mod.rs:86-166's sharing, realized
-        as leaf-level dedup exactly like the reference's checked-in
-        proofs).  Returns [(values, views)] per layer."""
+    def open_ark_plan(self, indices, plan):
+        """Queue every layer's row gather + tree sibling gather on `plan`
+        (merkle.FetchPlan); returns finish(results) -> [(values, views)]
+        per layer in the ark wire form (miniSTARK FriProof layers: values
+        + MerkleViews per sorted unique folded leaf —
+        crypto/src/merkle/mod.rs:86-166's sharing, realized as leaf-level
+        dedup exactly like the reference's checked-in proofs)."""
         from .ark import MerkleView
         F = self.F
         f = self.options.fri_folding_factor
         cur = sorted({int(i) for i in indices})
-        out = []
+        metas = []
         for tree, rows, layer_size, coset in self.layers:
             leaves = sorted({i // f for i in cur})
-            vals = F.decode(jnp.take(rows, jnp.asarray(leaves), axis=0))
-            if hasattr(tree, "prove_batch"):
-                paths = tree.prove_batch(leaves)
-            else:
-                paths = [tree.prove(b) for b in leaves]
-            values, views = [], []
-            for bi in range(len(leaves)):
-                row = [int(v) for v in vals[bi]]
-                values.extend(row)
-                views.append(MerkleView(
-                    hashed=True, nodes=list(paths[bi][1:]),
-                    initial_leaf=paths[bi][0],
-                    sibling_leaf=self.scheme.hash_row(F, row)))
-            out.append((values, views))
+            h = plan.add(F.to_canonical_dev(
+                jnp.take(rows, jnp.asarray(leaves), axis=0)))
+            fin = tree.plan_paths(leaves, plan) \
+                if hasattr(tree, "plan_paths") else None
+            metas.append((leaves, h, fin, tree))
             cur = leaves
-        return out
+
+        def finish(res):
+            out = []
+            for leaves, h, fin, tree in metas:
+                vals = F.decode_np(res[h])
+                paths = fin(res) if fin is not None \
+                    else [tree.prove(b) for b in leaves]
+                values, views = [], []
+                for bi in range(len(leaves)):
+                    row = [int(v) for v in vals[bi]]
+                    values.extend(row)
+                    views.append(MerkleView(
+                        hashed=True, nodes=list(paths[bi][1:]),
+                        initial_leaf=paths[bi][0],
+                        sibling_leaf=self.scheme.hash_row(F, row)))
+                out.append((values, views))
+            return out
+        return finish
+
+    def open_ark(self, indices):
+        from ..merkle import FetchPlan
+        plan = FetchPlan()
+        finish = self.open_ark_plan(indices, plan)
+        return finish(plan.run())

@@ -72,72 +72,91 @@ def _open_all_at_point(F, cols, hi, lo):
     return jnp.stack(outs, axis=0)
 
 
-def _open_all_pallas(F, col_arrays, pts, n):
-    """All columns x all points via the fused Pallas opener: one device
-    pass over the coefficient data per ~24 points (fields/fp252_pallas.py
-    open_partials), instead of a mul + log2(n) halving-add passes per
-    (point, column) — the XLA formulation re-streamed every array from HBM
-    at each of the 18 reduction levels and dominated the OODS phase."""
+def _open_pairs_pallas(F, col_arrays, pts, n, pairs):
+    """Requested (point, column) pairs via the pair-indexed Pallas opener
+    (fields/fp252_pallas.py open_pairs_partials): one device pass over the
+    coefficient data for ALL pairs — the dense K x C form evaluated every
+    column at every point (~6x the needed work for the recursive AIR),
+    and the plain-XLA formulation before it re-streamed every array from
+    HBM at each of the 18 reduction levels.
+
+    pairs: sequence of (point_idx, col_idx).  Returns numpy [P] object
+    ints in pair order."""
     from ..fields import fp252_pallas as fpp
     from ..ntt import powers_host
+    import numpy as np
     p = F.MODULUS
     T = fpp.SBT * 128
     A = n // T
     cols = jnp.stack([c.T for c in col_arrays])  # [C, 16, n]
-    out_chunks = []
-    CHUNK = 24
-    for s in range(0, len(pts), CHUNK):
-        chunk = pts[s:s + CHUNK]
-        lo = jnp.stack([jnp.asarray(powers_host(F, pt % p, T)).T
-                        for pt in chunk])
-        hi = jnp.stack([jnp.asarray(powers_host(F, pow(pt, T, p), A)).T
-                        for pt in chunk])
-        partials = fpp.open_partials(cols, lo, hi)  # [K, C, 16, SBT, 128]
-        K_, C_ = partials.shape[0], partials.shape[1]
-        x = jnp.transpose(partials, (0, 1, 3, 4, 2)) \
-            .reshape(K_, C_, T, -1)                 # [K, C, T, 16]
-        m = T
-        while m > 1:
-            x = F.add(x[:, :, 0::2], x[:, :, 1::2])
-            m //= 2
-        out_chunks.append(x[:, :, 0])
-    return F.decode(jnp.concatenate(out_chunks, axis=0))  # [K, C] ints
+    lo = jnp.stack([jnp.asarray(powers_host(F, pt % p, T)).T
+                    for pt in pts])
+    hi = jnp.stack([jnp.asarray(powers_host(F, pow(pt, T, p), A)).T
+                    for pt in pts])
+    kidx = jnp.asarray([k for (k, _) in pairs], dtype=jnp.int32)
+    cidx = jnp.asarray([c for (_, c) in pairs], dtype=jnp.int32)
+    from ..ntt.ntt_pallas import _interpret
+    partials = fpp.open_pairs_partials(cols, lo, hi, kidx, cidx,
+                                       len(pairs),
+                                       interpret=_interpret())
+    x = jnp.transpose(partials, (0, 2, 3, 1)).reshape(len(pairs), T, -1)
+    m = T
+    while m > 1:
+        x = F.add(x[:, 0::2], x[:, 1::2])
+        m //= 2
+    return F.decode(x[:, 0])  # [P] ints
 
 
-def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=()):
-    """Open the committed columns at z*g^off for every distinct offset in
-    targs (plus extra points).
+def open_columns(F, coeffs_by_col, targs, z, g, n, extra_points=(),
+                 extra_cols=None):
+    """Open the committed columns at z*g^off for each (col, off) in targs
+    (plus extra points).
 
     coeffs_by_col: dict col -> [n, L] device coefficient arrays
     targs: iterable of (col, offset)
+    extra_cols: optional per-extra-point column-key lists (default: all)
     Returns (values dict {(col, off): int}, extra list of {col: int}).
 
-    One fused dispatch per point — through a tunneled TPU, per-(point,
-    column) dispatch latency dominated the whole OODS phase.
+    The Pallas path evaluates exactly the requested pairs in one fused
+    dispatch; the dense fallback evaluates every column per point (one
+    dispatch per point).
     """
     from ..ntt import powers_host
     p = F.MODULUS
     pb = F.BASE_MODULUS
     cols = sorted(coeffs_by_col)
+    col_pos = {c: i for i, c in enumerate(cols)}
     col_arrays = tuple(coeffs_by_col[c] for c in cols)
     offsets = sorted({off for (_, off) in targs})
     zs = F.s(z)
     pts = [int(zs * pow(g, off % n, pb)) for off in offsets] \
         + [int(F.s(e)) for e in extra_points]
+    pair_list = sorted({(offsets.index(off), col_pos[c])
+                        for (c, off) in targs})
+    for j in range(len(extra_points)):
+        ecs = cols if extra_cols is None else extra_cols[j]
+        pair_list += [(len(offsets) + j, col_pos[c]) for c in ecs]
     from ..fields.fp252 import _use_pallas
+    values, extra = {}, [{} for _ in extra_points]
     if _use_pallas() and n % 1024 == 0 and n >= 4096 \
             and getattr(F, "NAME", "") == "fp252":
-        vals = _open_all_pallas(F, col_arrays, pts, n)
-    else:
-        b = 1 << ((n.bit_length() - 1) // 2)
-        a = n // b
-        outs = []
-        for pt in pts:
-            lo = powers_host(F, pt % p, b)
-            hi = powers_host(F, int(pow(F.s(pt), b, p)), a)
-            outs.append(_open_all_at_point(F, col_arrays, hi, lo))
-        vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
-    values = {}
+        pv = _open_pairs_pallas(F, col_arrays, pts, n, pair_list)
+        by_pair = {pr: int(v) for pr, v in zip(pair_list, pv)}
+        for (c, off) in targs:
+            values[(c, off)] = by_pair[(offsets.index(off), col_pos[c])]
+        for j in range(len(extra_points)):
+            ecs = cols if extra_cols is None else extra_cols[j]
+            for c in ecs:
+                extra[j][c] = by_pair[(len(offsets) + j, col_pos[c])]
+        return values, extra
+    b = 1 << ((n.bit_length() - 1) // 2)
+    a = n // b
+    outs = []
+    for pt in pts:
+        lo = powers_host(F, pt % p, b)
+        hi = powers_host(F, int(pow(F.s(pt), b, p)), a)
+        outs.append(_open_all_at_point(F, col_arrays, hi, lo))
+    vals = F.decode(jnp.stack(outs, axis=0))  # [K, C]; ONE host transfer
     for k, off in enumerate(offsets):
         for ci, c in enumerate(cols):
             values[(c, off)] = int(vals[k][ci])

@@ -337,8 +337,11 @@ def prove(F, air_config, trace, options: ProofOptions = None,
         f"the composition polynomial would not fit the LDE domain")
     comp_coeffs_all = intt(F, comp)
     del comp
+    # coset-inverse power table cached on DEVICE: powers_host returns
+    # numpy, and feeding it straight to F.mul re-uploaded 32MB through the
+    # tunnel (~0.4s) every prove
     comp_coeffs_all = F.mul(comp_coeffs_all,
-                            powers_host(F, pow(coset, -1, pb), N))
+                            _coset_pow_dev(F, pow(coset, -1, pb), N))
     # each split column C_j has degree < n (composition degree < m*n), so
     # slots n.. of the N/m-length stride slice are zero; trim them so the
     # batched opener sees uniform [n, L] arrays even when blowup > m
@@ -362,7 +365,8 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     for l, cc in enumerate(comp_col_coeffs):
         stack[comp_base + l] = cc
     oods_values, extra = open_columns(
-        F, stack, targs, z, g, n, extra_points=[z_m])
+        F, stack, targs, z, g, n, extra_points=[z_m],
+        extra_cols=[[comp_base + l for l in range(m)]])
     oods_trace_values = [oods_values[a] for a in targs]
     oods_comp_values = [extra[0][comp_base + l] for l in range(m)]
     coin.reseed_with_field_element_vector(
@@ -406,39 +410,54 @@ def prove(F, air_config, trace, options: ProofOptions = None,
     indices = coin.draw_queries(options.num_queries, N)
     log("PoW + queries")
 
-    # batched query assembly: one gather+transfer per column / tree level
-    # (the eager per-item version spent ~45s in host round trips).
+    # batched query assembly: every row gather, tree sibling gather, and
+    # FRI opening is queued on ONE FetchPlan and resolved with a single
+    # device->host transfer — each separate fetch pays a ~24ms tunnel
+    # round trip and the eager structure made ~16 of them.
     # drawn indices are stored (bit-reversed) positions; the LDE arrays
     # are natural-order, so gather at bitrev(idx)
     kN = N.bit_length() - 1
     idx_dev = jnp.asarray([bitrev_int(q, kN) for q in indices])
 
-    def read_rows(cols):
-        # one fused gather+stack and ONE transfer for all columns
-        vals = F.decode(_gather_stack(tuple(cols), idx_dev))  # [C, Q]
-        return [[int(vals[c][q]) for c in range(len(cols))]
+    from ..merkle import FetchPlan
+    plan = FetchPlan()
+
+    def plan_rows(cols):
+        return plan.add(
+            F.to_canonical_dev(_gather_stack(tuple(cols), idx_dev)))
+
+    h_base = plan_rows([base_lde[i] for i in sorted(base_lde)])
+    h_ext = plan_rows([ext_lde[i] for i in sorted(ext_lde)])
+    h_comp = plan_rows(comp_lde)
+    tree_fins = [tree.plan_paths(indices, plan)
+                 if hasattr(tree, "plan_paths") else None
+                 for tree in (base_tree, ext_tree, comp_tree)]
+    fri_finish = fri.open_ark_plan(indices, plan)
+    res = plan.run()
+
+    def rows_from(h):
+        vals = F.decode_np(res[h])  # [C, Q] object array
+        return [[int(vals[c][q]) for c in range(vals.shape[0])]
                 for q in range(len(indices))]
 
-    base_rows = read_rows([base_lde[i] for i in sorted(base_lde)])
-    ext_rows = read_rows([ext_lde[i] for i in sorted(ext_lde)])
-    comp_rows = read_rows(comp_lde)
+    base_rows = rows_from(h_base)
+    ext_rows = rows_from(h_ext)
+    comp_rows = rows_from(h_comp)
 
-    def views(tree, rows):
+    def views(tree, fin, rows):
         """ark MerkleViews: sibling leaf + nodes above the leaf pair, plus
         the queried row's own digest (ministark field order, stark/ark.py)."""
-        if hasattr(tree, "prove_batch"):
-            paths = tree.prove_batch(indices)
-        else:
-            paths = [tree.prove(i) for i in indices]
+        paths = fin(res) if fin is not None \
+            else [tree.prove(i) for i in indices]
         return [MerkleView(hashed=True, nodes=list(pth[1:]),
                            initial_leaf=pth[0],
                            sibling_leaf=scheme.hash_row(F, row))
                 for pth, row in zip(paths, rows)]
 
-    base_views = views(base_tree, base_rows)
-    ext_views = views(ext_tree, ext_rows)
-    comp_views = views(comp_tree, comp_rows)
-    fri_ark = fri.open_ark(indices)
+    base_views = views(base_tree, tree_fins[0], base_rows)
+    ext_views = views(ext_tree, tree_fins[1], ext_rows)
+    comp_views = views(comp_tree, tree_fins[2], comp_rows)
+    fri_ark = fri_finish(res)
     log("query assembly")
 
     def flat(rows):
