@@ -59,14 +59,25 @@ def ntt_metrics(n=1 << 19):
     col = F.encode_ints_np([(i * 0x9E3779B97F4A7C15) % F.MODULUS
                             for i in range(n)])
     col = jnp.asarray(col)
-    t = _timed(lambda: batched_ntt_cols(F, [col], False)[0])
+    # 4 transforms per timing so the ~24ms tunnel round trip amortizes
+    t = _timed(lambda: batched_ntt_cols(F, [col] * 4, False)[0]) / 4
     logn = n.bit_length() - 1
     # butterflies: one montmul + one add + one sub each; plus ~2 full
     # twiddle passes from the four-step inter-level multiplies
     mults = n // 2 * logn + 2 * n
     field_ops = 3 * (n // 2) * logn + 2 * n
+    # chain 16 dependent montmuls per dispatch: a single [16, 2^19] montmul
+    # finishes in ~1ms device time, far under the ~24ms tunnel round trip,
+    # so a one-shot timing measures latency, not throughput
+    import jax as _jax
     dm = col.T.reshape(16, n) + 0
-    tm = _timed(lambda: montmul_digitmajor(dm, dm))
+
+    @_jax.jit
+    def chain(x):
+        for _ in range(16):
+            x = montmul_digitmajor(x, dm)
+        return x
+    tm = _timed(lambda: chain(dm)) / 16
     # NTT HBM traffic: ~2 passes (read+write) per four-step level (3
     # levels at this size) over [n, 16] u32 data
     bytes_moved = 6 * 2 * n * 64
@@ -113,6 +124,9 @@ def goldilocks_metrics(fp252_steps_per_sec, n_cycles=16384):
         "gl_steps_per_sec": round(gl_rate, 2),
         "gl_prove_s": round(gl_s, 3),
         "gl_vs_fp252_ratio": round(gl_rate / fp252_steps_per_sec, 2),
+        "gl_phases": dict(__import__(
+            "sandstorm_tpu.stark.prover", fromlist=["LAST_PHASES"]
+        ).LAST_PHASES),
     }
 
 

@@ -43,7 +43,11 @@ def fuse_unless_unsafe(fn):
 
     @functools.wraps(fn)
     def dispatch(F, *args):
-        if getattr(F, "XLA_FUSE_SAFE", True):
+        # the compile-time blowup is an XLA:CPU pathology; the TPU
+        # compiler handles fused extension-field graphs fine, and eager
+        # dispatch through the tunnel is latency-bound
+        if getattr(F, "XLA_FUSE_SAFE", True) \
+                or jax.default_backend() == "tpu":
             return fused(F, *args)
         return fn(F, *args)
 

@@ -277,26 +277,61 @@ class Fp252:
         uploading them at full felt width made the trace upload the single
         largest phase of a recursive-example prove (~2.2s of a ~8s prove
         through the ~25MB/s tunnel).  Callers trim trailing zero words
-        host-side (np.any per word column: cheap) and this path moves only
-        the bytes that carry information."""
+        host-side (np.any per word column: cheap); a column whose wide rows
+        are SPARSE (e.g. the aux column's per-JNZ dst^-1 felts, or the npc
+        column's occasional full-felt memory values among u64 addresses)
+        ships as a 1-word base plus (index, full-row) exceptions that are
+        scattered in on device."""
         parts, specs = [], []
         off = 0
+
+        def put(arr_u32):
+            nonlocal off
+            parts.append(arr_u32.ravel())
+            start = off
+            off += arr_u32.size
+            return start
+
         for c in cols:
             c = np.ascontiguousarray(np.asarray(c, dtype=np.uint64))
             n, k = c.shape
-            parts.append(c.view("<u4").ravel())
-            specs.append((off, n, k))
-            off += n * k * 2
-        flat = jnp.asarray(np.concatenate(parts))
+            while k > 1 and not c[:, k - 1].any():
+                k -= 1
+            wide = c[:, 1:k].any(axis=1) if k > 1 else None
+            if k > 1 and wide.sum() <= n // 8:
+                idx = np.nonzero(wide)[0].astype(np.uint32)
+                full = np.ascontiguousarray(c[idx, :k]).view("<u4")
+                base = np.ascontiguousarray(c[:, :1]).view("<u4")
+                specs.append(("sparse", put(base), n, put(idx), put(full),
+                              len(idx), k))
+            else:
+                dense = np.ascontiguousarray(c[:, :k]).view("<u4")
+                specs.append(("dense", put(dense), n, k))
+        flat = jnp.asarray(np.concatenate(parts)) if parts else jnp.zeros(
+            (0,), dtype=U32)
         r2 = jnp.array(_int_to_digits(R2), dtype=U32)
-        out = []
-        for (off, n, k) in specs:
-            w = flat[off:off + n * k * 2].reshape(n, k * 2)
+
+        def expand(words, rows, k):
+            w = words.reshape(rows, k * 2)
             lo = w & U32(0xFFFF)
             hi = w >> 16
-            dig = jnp.stack([lo, hi], axis=-1).reshape(n, 4 * k)
+            dig = jnp.stack([lo, hi], axis=-1).reshape(rows, 4 * k)
             if 4 * k < NDIGITS:
                 dig = jnp.pad(dig, ((0, 0), (0, NDIGITS - 4 * k)))
+            return dig
+
+        out = []
+        for spec in specs:
+            if spec[0] == "dense":
+                _, o, n, k = spec
+                dig = expand(flat[o:o + n * k * 2], n, k)
+            else:
+                _, ob, n, oi, of, m, k = spec
+                dig = expand(flat[ob:ob + n * 2], n, 1)
+                if m:
+                    idx = flat[oi:oi + m]
+                    fdig = expand(flat[of:of + m * k * 2], m, k)
+                    dig = dig.at[idx].set(fdig)
             out.append(cls._montmul(dig, jnp.broadcast_to(r2, dig.shape)))
         return out
 

@@ -10,9 +10,10 @@ shape and ops broadcast normally.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-MASK16 = U32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)  # numpy scalar: Pallas kernels may not capture device constants
 
 
 def u32(x):

@@ -44,33 +44,50 @@ M_MAX = 256
 TB = 128
 
 
-def _ntt_kernel(x_ref, tw_ref, o_ref):
-    """All log2(M) DIT stages on a [16, M, TB] digit-major VMEM block.
+def _tile_ops(fname: str):
+    """(ndigits, mul, add, sub) digit-register tile ops per field."""
+    if fname == "fp252":
+        return (NDIGITS, _montmul_tile, _field_add_tile, _field_sub_tile)
+    if fname == "goldilocks":
+        from ..fields.gl_pallas import gl_mul_tile, gl_add_tile, gl_sub_tile
+        return (2, gl_mul_tile, gl_add_tile, gl_sub_tile)
+    raise KeyError(fname)
 
-    tw_ref: [S, M/2, 16] per-stage twiddle vectors (group-flattened: entry
-    i = g*half + j holds w_M^((M >> s) * j), Montgomery form).
-    """
-    M = x_ref.shape[1]
-    T = x_ref.shape[2]
-    S = tw_ref.shape[0]
-    x = [x_ref[d] for d in range(NDIGITS)]
-    for s in range(1, S + 1):
-        m = 1 << s
-        half = m >> 1
-        G = M // m
-        tw = [jnp.broadcast_to(tw_ref[s - 1, :, d].reshape(M // 2, 1),
-                               (M // 2, T))
-              for d in range(NDIGITS)]
-        top = [v.reshape(G, m, T)[:, :half].reshape(M // 2, T) for v in x]
-        bot = [v.reshape(G, m, T)[:, half:].reshape(M // 2, T) for v in x]
-        t = _montmul_tile(bot, tw)
-        nt = _field_add_tile(top, t)
-        nb = _field_sub_tile(top, t)
-        x = [jnp.concatenate(
-            [a.reshape(G, half, T), b.reshape(G, half, T)],
-            axis=1).reshape(M, T) for a, b in zip(nt, nb)]
-    for d in range(NDIGITS):
-        o_ref[d] = x[d]
+
+@functools.lru_cache(maxsize=None)
+def _mk_ntt_kernel(fname: str):
+    nd, mul, add, sub = _tile_ops(fname)
+
+    def kernel(x_ref, tw_ref, o_ref):
+        """All log2(M) DIT stages on a [nd, M, TB] digit-major VMEM block.
+
+        tw_ref: [S, M/2, nd] per-stage twiddle vectors (group-flattened:
+        entry i = g*half + j holds w_M^((M >> s) * j), in the field's mul
+        domain)."""
+        M = x_ref.shape[1]
+        T = x_ref.shape[2]
+        S = tw_ref.shape[0]
+        x = [x_ref[d] for d in range(nd)]
+        for s in range(1, S + 1):
+            m = 1 << s
+            half = m >> 1
+            G = M // m
+            tw = [jnp.broadcast_to(tw_ref[s - 1, :, d].reshape(M // 2, 1),
+                                   (M // 2, T))
+                  for d in range(nd)]
+            top = [v.reshape(G, m, T)[:, :half].reshape(M // 2, T)
+                   for v in x]
+            bot = [v.reshape(G, m, T)[:, half:].reshape(M // 2, T)
+                   for v in x]
+            t = mul(bot, tw)
+            nt = add(top, t)
+            nb = sub(top, t)
+            x = [jnp.concatenate(
+                [a.reshape(G, half, T), b.reshape(G, half, T)],
+                axis=1).reshape(M, T) for a, b in zip(nt, nb)]
+        for d in range(nd):
+            o_ref[d] = x[d]
+    return kernel
 
 
 def _interpret() -> bool:
@@ -80,22 +97,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _ntt_leaf_call(x_dm, tw, interpret=False):
-    """x_dm [16, M, B] (B % TB == 0), tw [S, M/2, 16] -> [16, M, B]."""
-    _, M, B = x_dm.shape
+@functools.partial(jax.jit, static_argnames=("fname", "interpret"))
+def _ntt_leaf_call(x_dm, tw, fname="fp252", interpret=False):
+    """x_dm [nd, M, B] (B % TB == 0), tw [S, M/2, nd] -> [nd, M, B]."""
+    nd, M, B = x_dm.shape
     grid = (B // TB,)
     return pl.pallas_call(
-        _ntt_kernel,
-        out_shape=jax.ShapeDtypeStruct((NDIGITS, M, B), x_dm.dtype),
+        _mk_ntt_kernel(fname),
+        out_shape=jax.ShapeDtypeStruct((nd, M, B), x_dm.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NDIGITS, M, TB), lambda i: (0, 0, i),
+            pl.BlockSpec((nd, M, TB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tw.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((NDIGITS, M, TB), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((nd, M, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         # the 8 unrolled butterfly stages keep ~45MB of digit temporaries
         # live; the default 16MB scoped-vmem cap rejects the kernel on a
@@ -127,7 +144,7 @@ def _stage_tables_np(F, M: int, inverse: bool):
     """[S, M/2, 16] stage twiddle vectors (numpy, Montgomery encoded)."""
     wp = _wpow_ints(F, M, inverse)
     S = M.bit_length() - 1
-    out = np.empty((S, M // 2, NDIGITS), dtype=np.uint32)
+    out = np.empty((S, M // 2, F.NLIMBS), dtype=np.uint32)
     for s in range(1, S + 1):
         half = 1 << (s - 1)
         stride = M >> s
@@ -173,7 +190,7 @@ def _rc_twiddle_dev(F, M: int, R: int, inverse: bool):
         exps = (np.outer(np.arange(R, dtype=np.int64),
                          np.arange(C, dtype=np.int64)) % M).ravel()
         flat = F.encode_ints_np(list(wp[exps]))
-        return flat.reshape(R, C, 1, NDIGITS)
+        return flat.reshape(R, C, 1, F.NLIMBS)
     return _dev(("rc", F.NAME, M, R, inverse), build)
 
 
@@ -203,35 +220,35 @@ def batched_ntt_cols(F, cols, inverse: bool):
 
 
 def _ntt_leaf(F, x, inverse: bool):
-    """x [M, B, 16] natural order -> NTT over axis 0 (M <= M_MAX)."""
+    """x [M, B, L] natural order -> NTT over axis 0 (M <= M_MAX)."""
     M, B = x.shape[0], x.shape[1]
     x = jnp.take(x, jnp.asarray(_bitrev_idx(M)), axis=0)
-    x = x.transpose(2, 0, 1)  # [16, M, B]
+    x = x.transpose(2, 0, 1)  # [L, M, B]
     Bp = -(-B // TB) * TB
     if Bp != B:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Bp - B)))
     tw = _stage_tables_dev(F, M, inverse)
-    out = _ntt_leaf_call(x, tw, interpret=_interpret())
+    out = _ntt_leaf_call(x, tw, fname=F.NAME, interpret=_interpret())
     if Bp != B:
         out = out[:, :, :B]
-    return out.transpose(1, 2, 0)  # [M, B, 16]
+    return out.transpose(1, 2, 0)  # [M, B, L]
 
 
 def _batched_ntt_axis0(F, x, inverse: bool):
-    """NTT over axis 0 of [M, B, 16] (natural in / natural out)."""
-    M, B = x.shape[0], x.shape[1]
+    """NTT over axis 0 of [M, B, L] (natural in / natural out)."""
+    M, B, L = x.shape
     if M <= M_MAX:
         return _ntt_leaf(F, x, inverse)
     # balanced split keeps both factors' leaf transforms wide
     R = min(M_MAX, 1 << ((M.bit_length() - 1 + 1) // 2))
     C = M // R
-    x = x.reshape(R, C * B, NDIGITS)
+    x = x.reshape(R, C * B, L)
     x = _batched_ntt_axis0(F, x, inverse)          # [k_r, (c, B)]
-    x = x.reshape(R, C, B, NDIGITS)
+    x = x.reshape(R, C, B, L)
     x = F.mul(x, _rc_twiddle_dev(F, M, R, inverse))
-    x = x.transpose(1, 0, 2, 3).reshape(C, R * B, NDIGITS)
+    x = x.transpose(1, 0, 2, 3).reshape(C, R * B, L)
     x = _batched_ntt_axis0(F, x, inverse)          # [k_c, (k_r, B)]
-    return x.reshape(C * R, B, NDIGITS)            # k = k_c*R + k_r
+    return x.reshape(C * R, B, L)                  # k = k_c*R + k_r
 
 
 def ntt_fourstep(F, a, inverse: bool = False):
@@ -248,8 +265,9 @@ def ntt_fourstep(F, a, inverse: bool = False):
 
 
 def pallas_ntt_ok(F, n: int) -> bool:
-    """The four-step path handles fp252 on TPU for transforms >= 4096."""
-    if getattr(F, "NAME", "") != "fp252" or n < 4096:
+    """The four-step path handles fp252 and Goldilocks on TPU for
+    transforms >= 4096."""
+    if getattr(F, "NAME", "") not in ("fp252", "goldilocks") or n < 4096:
         return False
     from ..fields.fp252 import _use_pallas
     return _use_pallas()

@@ -68,21 +68,51 @@ def _four_step_local(F, x_local, tw_local, n1, n2, D, inverse, axis):
     return T.reshape(n2 // D * n1, L)  # [n/D, L]
 
 
-@functools.lru_cache(maxsize=32)
-def _four_step_twiddles(F, n1: int, n2: int, inverse: bool):
-    """w_n^(k1*i2) matrix [n1, n2, L] (numpy; sharded by the caller)."""
-    p = F.MODULUS
-    n = n1 * n2
-    w = F.root_of_unity_int(n)
+_TW_CACHE = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return tuple(d.id for d in mesh.devices.flat)
+
+
+def _four_step_twiddles_dev(F, mesh: Mesh, n1: int, n2: int, inverse: bool,
+                            axis: str):
+    """Sharded device [n1, n2, L] matrix of w_n^(k1*i2), built ON each
+    shard (log2(n1) scan passes over the local block) and cached per
+    (field, size, mesh).
+
+    The previous host build looped python-int power chains over all n1
+    rows and materialized the full [n1, n2, L] matrix before sharding —
+    O(n) host time and memory (a ~1GB row-by-row table at the 2^24
+    BASELINE scale), re-uploaded through every process."""
+    key = (getattr(F, "NAME", ""), n1, n2, inverse, axis, _mesh_key(mesh))
+    got = _TW_CACHE.get(key)
+    if got is not None:
+        return got
+    p = F.BASE_MODULUS
+    w = F.root_of_unity_int(n1 * n2)
     if inverse:
         w = pow(w, -1, p)
-    row = powers_host(F, w, n2)  # w^0..w^(n2-1) [n2, L] numpy
-    out = np.empty((n1, n2, row.shape[-1]), dtype=np.uint32)
-    # row k1 of the matrix is powers of w^k1; build by repeated pointwise
-    # exponent doubling on the exponent grid (host ints, cached)
-    for k1 in range(n1):
-        out[k1] = powers_host(F, pow(w, k1, p), n2)
-    return out
+    D = mesh.shape[axis]
+    chunk = n2 // D
+    # local column base: row[j] = w^(d*chunk + j) = w^j * (w^chunk)^d
+    pw = jnp.asarray(powers_host(F, w, chunk))             # [chunk, L]
+    sc = jnp.asarray(powers_host(F, pow(w, chunk, p), D))  # [D, L]
+    sc = jax.device_put(sc.reshape(D, 1, sc.shape[-1]),
+                        NamedSharding(mesh, P(axis)))
+
+    def local(pw_l, sc_l):
+        row = F.mul(pw_l, jnp.broadcast_to(sc_l[0], pw_l.shape))
+        seq = jnp.concatenate(
+            [F.ones((1, row.shape[0])),
+             jnp.broadcast_to(row[None], (n1 - 1,) + row.shape)], axis=0)
+        return jax.lax.associative_scan(F.mul, seq, axis=0)  # row^k1
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                   out_specs=P(None, axis))
+    tw = jax.jit(fn)(pw, sc)
+    _TW_CACHE[key] = tw
+    return tw
 
 
 NTT_CALLS = 0  # instrumentation: counts four-step dispatches (tests)
@@ -104,8 +134,7 @@ def dist_ntt(F, mesh: Mesh, x, inverse: bool = False, axis: str = "d"):
     n2 = n // n1
     assert n1 % D == 0 and n2 % D == 0, (n1, n2, D)
 
-    tw = jnp.asarray(_four_step_twiddles(F, n1, n2, inverse))
-    tw_sharded = jax.device_put(tw, NamedSharding(mesh, P(None, axis)))
+    tw_sharded = _four_step_twiddles_dev(F, mesh, n1, n2, inverse, axis)
 
     fn = shard_map(
         functools.partial(_four_step_local, F, n1=n1, n2=n2, D=D,
@@ -126,8 +155,13 @@ def dist_coset_lde(F, mesh: Mesh, evals, blowup: int, coset: int,
     N = n * blowup
     coeffs = dist_ntt(F, mesh, evals, inverse=True, axis=axis)
     # scale by coset powers (sharded elementwise) and zero-pad to N
-    cp = jnp.asarray(powers_host(F, coset, n))
-    cp = jax.device_put(cp, NamedSharding(mesh, P(axis)))
+    key = ("cosetpow", getattr(F, "NAME", ""), coset, n, axis,
+           _mesh_key(mesh))
+    cp = _TW_CACHE.get(key)
+    if cp is None:
+        cp = jax.device_put(jnp.asarray(powers_host(F, coset, n)),
+                            NamedSharding(mesh, P(axis)))
+        _TW_CACHE[key] = cp
     scaled = F.mul(coeffs, cp)
     pad = jnp.zeros((N - n,) + evals.shape[1:], dtype=evals.dtype)
     padded = jnp.concatenate([scaled, pad], axis=0)

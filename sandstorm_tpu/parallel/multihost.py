@@ -44,11 +44,13 @@ def initialize(coordinator_address: str = None, num_processes: int = None,
     pods all three are discovered automatically.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
+    if _INITIALIZED:
         return
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # NOTE: do not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize — they initialize the XLA backend, after
+    # which joining a cluster is impossible
     # some environments set TPU_WORKER_HOSTNAMES to a literal libtpu
     # warning string ("WARNING: could not determine ...") — only a
     # comma-separated host list counts as pod metadata

@@ -628,8 +628,10 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
     # explodes on fused multiply-chain graphs (SANDSTORM_TPU_FUSE_DEEP
     # overrides for tests)
     ov = os.environ.get("SANDSTORM_TPU_FUSE_DEEP")
-    fuse = getattr(F, "XLA_FUSE_SAFE", True) and (
-        ov == "1" if ov is not None else jax.default_backend() == "tpu")
+    # fuse on TPU for every field (the unfused-for-GL3 rule is an XLA:CPU
+    # compile-time pathology, see fields/_jit.py)
+    fuse = ov == "1" if ov is not None \
+        else jax.default_backend() == "tpu"
 
     acc_chunks = []
     for s in range(0, N, B):

@@ -145,29 +145,23 @@ def verify_ark(F, air_config, public_input, proof: ArkProof, scheme,
 
     # -- transcript ----------------------------------------------------------
     if transcript is None:
-        coin = scheme.make_coin(public_input, options, n)
-        coin.reseed_with_digest(proof.base_commitment)
-        challenges = coin.draw_felts(p, air_config.NUM_CHALLENGES)
-        if proof.ext_commitment is not None:
-            coin.reseed_with_digest(proof.ext_commitment)
-        alpha_comp = coin.draw_felt(p)
-        coin.reseed_with_digest(proof.comp_commitment)
-        z = coin.draw_felt(p)
-        coin.reseed_with_field_element_vector(
-            p, list(proof.execution_ood_evals)
-            + list(proof.composition_ood_evals))
-        alpha_deep = coin.draw_felt(p)
-        fri_betas = []
-        for layer in proof.fri_layers:
-            coin.reseed_with_digest(layer.commitment)
-            fri_betas.append(coin.draw_felt(p))
-        coin.reseed_with_field_element_vector(p, proof.fri_remainder)
+        # the schedule lives in ONE place (transcript_replay.py — the
+        # executable form of PARITY.md's frozen event table); its PoW
+        # assert surfaces as a clean rejection here
+        from .transcript_replay import replay_transcript
+        try:
+            rt = replay_transcript(F, air_config, public_input, proof,
+                                   scheme)
+        except AssertionError as e:
+            raise VerificationError(str(e))
+        challenges = rt["challenges"]
+        alpha_comp = rt["alpha_comp"]
+        z = rt["z"]
+        alpha_deep = rt["alpha_deep"]
+        fri_betas = rt["betas"]
+        indices = rt["queries"]
         _check(len(proof.fri_remainder) <= max_rem,
                "FRI remainder too large")
-        _check(coin.verify_proof_of_work(proof.pow_nonce, pow_bits),
-               "invalid proof of work")
-        coin.reseed_with_int(proof.pow_nonce)
-        indices = coin.draw_queries(q, N)
     else:
         challenges = transcript.get("challenges")
         alpha_comp = transcript.get("alpha_comp")

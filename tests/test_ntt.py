@@ -88,23 +88,28 @@ class _MockRef:
         self.arr = self.arr.at[k].set(v)
 
 
-def test_pallas_fourstep_kernel_math():
-    """The VMEM-resident DIT butterfly kernel (ntt_pallas._ntt_kernel) and
-    the four-step driver reproduce the scan NTT bit-for-bit, forward and
-    inverse (the 1/n scale included), for fp252."""
+@pytest.mark.parametrize("field", ["fp252", "goldilocks"])
+def test_pallas_fourstep_kernel_math(field):
+    """The VMEM-resident DIT butterfly kernel (ntt_pallas._mk_ntt_kernel)
+    and the four-step driver reproduce the scan NTT bit-for-bit, forward
+    and inverse (the 1/n scale included), for both Pallas fields."""
     import jax.numpy as jnp
     import numpy as np
-    from sandstorm_tpu.fields.fp252 import Fp252 as F
     from sandstorm_tpu.ntt import ntt_pallas as mod
     from sandstorm_tpu.ntt.ntt import ntt as ntt_ref
+    if field == "fp252":
+        from sandstorm_tpu.fields.fp252 import Fp252 as F
+    else:
+        from sandstorm_tpu.fields.goldilocks import GL as F
 
-    def eager_leaf_call(x_dm, tw, interpret=False):
+    def eager_leaf_call(x_dm, tw, fname=field, interpret=False):
         TB = mod.TB
+        kernel = mod._mk_ntt_kernel(fname)
         outs = []
         for i in range(x_dm.shape[2] // TB):
             xi = _MockRef(x_dm[:, :, i * TB:(i + 1) * TB])
             oi = _MockRef(jnp.zeros_like(xi.arr))
-            mod._ntt_kernel(xi, tw, oi)
+            kernel(xi, tw, oi)
             outs.append(oi.arr)
         return jnp.concatenate(outs, axis=2)
 
@@ -135,13 +140,14 @@ def test_batched_lde_matches_per_column():
     from sandstorm_tpu.stark.prover import (_lde_and_coeffs,
                                             _lde_and_coeffs_batched)
 
-    def eager_leaf_call(x_dm, tw, interpret=False):
+    def eager_leaf_call(x_dm, tw, fname="fp252", interpret=False):
         TB = mod.TB
+        kernel = mod._mk_ntt_kernel(fname)
         outs = []
         for i in range(x_dm.shape[2] // TB):
             xi = _MockRef(x_dm[:, :, i * TB:(i + 1) * TB])
             oi = _MockRef(jnp.zeros_like(xi.arr))
-            mod._ntt_kernel(xi, tw, oi)
+            kernel(xi, tw, oi)
             outs.append(oi.arr)
         return jnp.concatenate(outs, axis=2)
 

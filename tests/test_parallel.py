@@ -149,3 +149,168 @@ def test_multihost_single_process_semantics():
     assert multihost.is_coordinator()
     idx, count = multihost.process_grid()
     assert (idx, count) == (0, 1)
+
+
+_MESH_RECURSIVE_SCRIPT = r"""
+import hashlib
+from sandstorm_tpu import enable_compile_cache
+enable_compile_cache()
+from sandstorm_tpu.claims import CairoClaim
+from sandstorm_tpu.examples import load_artifacts
+from sandstorm_tpu.fields.fp252 import Fp252
+from sandstorm_tpu.binary.formats import Layout
+from sandstorm_tpu.stark.ark import serialize_proof
+from sandstorm_tpu.stark.options import ProofOptions
+from sandstorm_tpu.parallel import dist, make_mesh
+
+ref = "/root/reference/example"
+program, pub, witness = load_artifacts(
+    ref + "/array-sum.json", ref + "/air-public-input.json",
+    ref + "/air-private-input.json")
+claim = CairoClaim(program, pub, field=Fp252, layout=Layout.RECURSIVE,
+                   scheme="cairo")
+options = ProofOptions(num_queries=4, proof_of_work_bits=4)
+mesh = make_mesh(8)
+before = dist.NTT_CALLS
+proof = claim.prove(witness, options, mesh=mesh)
+assert dist.NTT_CALLS > before, "mesh prove did not hit the 4-step NTT"
+assert claim.verify(proof, required_security_bits=0)
+print("MESH-RECURSIVE-SHA256:" + hashlib.sha256(
+    serialize_proof(proof)).hexdigest())
+"""
+
+# sha256 of the single-chip TPU proof of the same artifacts/options/scheme
+# (tools/ref_proof_hash.py) — the proof is transcript-determined, so the
+# 8-device CPU mesh prove must reproduce it byte-for-byte
+_RECURSIVE_PROOF_SHA256 = \
+    "22290cbf0c3c084d992bfa8ba777aaf3873c6c2837f34beece6d3e52ada9ee88"
+
+
+@pytest.mark.slow
+def test_mesh_prove_recursive_real_example():
+    """The REAL 16384-step recursive example proves under an 8-device mesh
+    (sharded 93-constraint evaluation, friendly-tree hashing, extension
+    scans) and the proof is byte-identical to the single-chip proof
+    (VERDICT r4 item 5)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run(
+        [sys.executable, "-c", _MESH_RECURSIVE_SCRIPT],
+        env=env, capture_output=True, text=True, timeout=7200,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert res.returncode == 0, \
+        f"mesh recursive prove failed:\n{res.stderr[-4000:]}"
+    line = [l for l in res.stdout.splitlines()
+            if l.startswith("MESH-RECURSIVE-SHA256:")]
+    assert line, res.stdout
+    got = line[0].split(":", 1)[1]
+    if _RECURSIVE_PROOF_SHA256 is not None:
+        assert got == _RECURSIVE_PROOF_SHA256, \
+            "mesh proof bytes differ from the single-chip proof"
+
+
+_MULTIHOST_WORKER = r"""
+import hashlib
+import sys
+# join the cluster FIRST: enable_compile_cache touches
+# jax.default_backend(), which initializes the XLA backend and would make
+# jax.distributed.initialize impossible
+from sandstorm_tpu.parallel import multihost
+multihost.initialize()   # env-driven: coordinator/num_processes/process_id
+from sandstorm_tpu import enable_compile_cache
+enable_compile_cache()
+
+import jax
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+from sandstorm_tpu.binary.formats import AirPrivateInput, CairoWitness, Layout
+from sandstorm_tpu.claims import CairoClaim
+from sandstorm_tpu.fields.fp252 import Fp252
+from sandstorm_tpu.runner.vm import (CairoVM, instr_assert_eq_imm,
+                                     instr_jmp_rel_imm)
+from sandstorm_tpu.stark.ark import serialize_proof
+from sandstorm_tpu.stark.options import ProofOptions
+
+vm = CairoVM([instr_assert_eq_imm(), 10, instr_jmp_rel_imm(), 0],
+             Fp252.MODULUS)
+trace, mem = vm.run(16, initial_ap=6, extra_memory={5: 0})
+registers, memory = vm.to_witness_arrays(trace, mem)
+pub = vm.build_public_input(trace, mem, layout=Layout.PLAIN)
+witness = CairoWitness(
+    air_private_input=AirPrivateInput("", "", [], [], [], [], [], []),
+    register_states=registers, memory=memory)
+claim = CairoClaim(None, pub, field=Fp252, layout=Layout.PLAIN)
+options = ProofOptions(num_queries=4, proof_of_work_bits=4)
+
+mesh = multihost.global_mesh()
+assert mesh.devices.size == 8
+proof = claim.prove(witness, options, mesh=mesh)
+blob = serialize_proof(proof)
+print(f"P{jax.process_index()}-SHA256:{hashlib.sha256(blob).hexdigest()}",
+      flush=True)
+# BOTH processes verify (SPMD discipline: a coordinator-only epilogue
+# leaves task 1 waiting at the distributed shutdown barrier until it
+# times out).  Byte-identity with a SINGLE-process prove is checked
+# against the pinned transcript-schedule proof of the same trace/options/
+# scheme (tests/data/self_proof_generic.bin) instead of re-proving.
+assert claim.verify(proof, required_security_bits=0)
+pinned = open("tests/data/self_proof_generic.bin", "rb").read()
+assert blob == pinned, "multi-host proof != pinned single-process proof"
+if multihost.is_coordinator():
+    print("MULTIHOST-OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_multihost_two_process_prove():
+    """A REAL 2-process jax.distributed run (coordinator on localhost,
+    4+4 virtual CPU devices): both processes execute the same
+    prove(mesh=global_mesh()) SPMD, the coordinator's proof verifies and
+    is byte-identical to a single-process prove (VERDICT r4 item 6)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _MULTIHOST_WORKER],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=os.path.join(os.path.dirname(__file__), "..")))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=2400)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{err[-4000:]}"
+    assert "MULTIHOST-OK" in outs[0][1]
+    sha0 = [l for l in outs[0][1].splitlines() if l.startswith("P0-SHA256:")]
+    sha1 = [l for l in outs[1][1].splitlines() if l.startswith("P1-SHA256:")]
+    assert sha0 and sha1
+    assert sha0[0].split(":")[1] == sha1[0].split(":")[1], \
+        "processes disagree on proof bytes"
