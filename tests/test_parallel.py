@@ -300,7 +300,7 @@ def test_multihost_two_process_prove():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=2400)
+            out, err = p.communicate(timeout=3600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
