@@ -202,6 +202,15 @@ def _bitrev_idx(M: int):
 
 # -- drivers -----------------------------------------------------------------
 
+def _gl3_view(c):
+    """[n, 6] GF(p^3) column -> [n, 3, 2] base-field coordinate batch.
+
+    The NTT is linear over the BASE field and its twiddles are base-field,
+    so a cubic-extension transform is exactly three Goldilocks transforms
+    with the coordinate axis on the four-step's batch axis."""
+    return c.reshape(c.shape[0], 3, 2)
+
+
 def batched_ntt_cols(F, cols, inverse: bool):
     """NTT over axis 0 of each same-length column; returns the list.
 
@@ -215,6 +224,10 @@ def batched_ntt_cols(F, cols, inverse: bool):
     layout-stable across every scale this engine runs), and dispatch
     amortization no longer matters (~6 dispatches per transform).
     """
+    if getattr(F, "NAME", "") == "gl3":
+        from ..fields.goldilocks import GL
+        return [_batched_ntt_axis0(GL, _gl3_view(c), inverse)
+                .reshape(c.shape) for c in cols]
     return [_batched_ntt_axis0(F, c[:, None, :], inverse)[:, 0, :]
             for c in cols]
 
@@ -265,9 +278,10 @@ def ntt_fourstep(F, a, inverse: bool = False):
 
 
 def pallas_ntt_ok(F, n: int) -> bool:
-    """The four-step path handles fp252 and Goldilocks on TPU for
-    transforms >= 4096."""
-    if getattr(F, "NAME", "") not in ("fp252", "goldilocks") or n < 4096:
+    """The four-step path handles fp252, Goldilocks, and GF(p^3) columns
+    (as three coordinate-batched GL transforms) on TPU, >= 4096."""
+    if getattr(F, "NAME", "") not in ("fp252", "goldilocks", "gl3") \
+            or n < 4096:
         return False
     from ..fields.fp252 import _use_pallas
     return _use_pallas()

@@ -41,6 +41,18 @@ def _point_powers(F, pt_int: int, n: int):
     return _outer_mul(F, hi, lo)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _point_power_stack(F, pts_dev, count: int):
+    """[K, L] points -> [count, K, L] of pt^i via one device prefix scan."""
+    from ..fields.scan import prefix_mul
+    K = pts_dev.shape[0]
+    seq = jnp.concatenate(
+        [F.ones((1, K)),
+         jnp.broadcast_to(pts_dev[None],
+                          (count - 1,) + pts_dev.shape)], axis=0)
+    return prefix_mul(F, seq)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def open_one(F, coeffs, zp):
     """<coeffs, zp> field dot product: [n, L], [n, L] -> [L]."""
@@ -83,16 +95,17 @@ def _open_pairs_pallas(F, col_arrays, pts, n, pairs):
     pairs: sequence of (point_idx, col_idx).  Returns numpy [P] object
     ints in pair order."""
     from ..fields import fp252_pallas as fpp
-    from ..ntt import powers_host
-    import numpy as np
     p = F.MODULUS
     T = fpp.SBT * 128
     A = n // T
     cols = jnp.stack([c.T for c in col_arrays])  # [C, 16, n]
-    lo = jnp.stack([jnp.asarray(powers_host(F, pt % p, T)).T
-                    for pt in pts])
-    hi = jnp.stack([jnp.asarray(powers_host(F, pow(pt, T, p), A)).T
-                    for pt in pts])
+    # per-point power tables built ON DEVICE from one tiny [K, L] upload
+    # (host power chains + their ~6MB table upload dominated the OODS
+    # phase: ~93k host modmuls + a 0.2s transfer per prove)
+    pts_dev = F.encode_ints([pt % p for pt in pts])          # [K, L]
+    lo = jnp.transpose(_point_power_stack(F, pts_dev, T), (1, 2, 0))
+    hi_base = F.pow_static(pts_dev, T)
+    hi = jnp.transpose(_point_power_stack(F, hi_base, A), (1, 2, 0))
     kidx = jnp.asarray([k for (k, _) in pairs], dtype=jnp.int32)
     cidx = jnp.asarray([c for (_, c) in pairs], dtype=jnp.int32)
     from ..ntt.ntt_pallas import _interpret

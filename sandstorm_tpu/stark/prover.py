@@ -599,9 +599,11 @@ def _deep_compose(F, dom, targs, trace_lde, comp_lde, oods_trace_values,
         pos += len(grp)
     pts_dev = flat_t[pos:pos + K]
 
-    # chunk size: keep the two [K, B, L] scan stacks ~1.5GB
+    # chunk size: keep the two [K, B, L] scan stacks ~3GB each (HBM is
+    # ~15.6GB; a single chunk at recursive scale avoids the per-chunk
+    # queue drain + concat)
     B = N
-    while K * B * F.NLIMBS * 4 > (3 << 29):
+    while K * B * F.NLIMBS * 4 > (3 << 30):
         B //= 2
 
     # column identity per term (trace cols by key, comp cols offset past
