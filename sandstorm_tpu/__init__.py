@@ -55,3 +55,27 @@ def enable_compile_cache(path: str = None):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def probe_tpu(timeout: int = 420) -> bool:
+    """Kick the axon TPU tunnel from a SUBPROCESS before backend init.
+
+    After a long TPU process exits, the next process's backend init can
+    hang indefinitely (the tunnel session wedges rather than erroring); a
+    throwaway `jax.devices()` in a subprocess revives it.  Call before
+    the first device use in CLI tools/benches.  Returns False if the
+    probe timed out (tunnel down)."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("SANDSTORM_TPU_NO_PROBE") == "1":
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import os; os.environ['SANDSTORM_TPU_NO_PROBE']='1'; "
+             "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False

@@ -796,10 +796,12 @@ def _group_eval_chunk_jit(F, exprs, blowup, pre_nodes, pre_periods,
             col, off = k[1], k[2]
             arr = columns[col]
             shift = (off * blowup) % arr.shape[0]
-            idx = (s + jnp.uint32(shift)
-                   + jnp.arange(B, dtype=jnp.uint32)) % jnp.uint32(
-                       arr.shape[0])
-            r = (jnp.take(arr, idx, axis=0), B)
+            # contiguous wrap-around window via a dynamic roll (two
+            # dynamic slices + concat): the explicit [B]-index gather read
+            # millions of 64-byte rows per leaf and dominated the whole
+            # starknet constraint-evaluation phase (~385 leaf windows x 8
+            # chunks of 32MB each)
+            r = (jnp.roll(arr, -(s + jnp.uint32(shift)), axis=0)[:B], B)
         elif op == "challenge":
             r = (challenges[k[1]], 0)
         elif op == "hint":
@@ -911,6 +913,21 @@ def evaluate_lde_folded_chunked(exprs, ctx: LdeContext, N: int, fold_coeffs,
     hints = tuple(ctx.hints)
     cols_all = ctx.columns
 
+    # full-period zerofier inverses (boundary 1/(X - g^k) terms): variant
+    # per the chunk classification, but domain-only — hoist the [N, L]
+    # inverse into the per-process device cache and seed each group with
+    # its chunk SLICE, instead of a length-B batch inversion inside every
+    # group x chunk dispatch
+    from ..ntt.ntt_pallas import _dev
+    fname = getattr(F, "NAME", F.__class__.__name__)
+    zsel = [nd for nd in _domain_only_invs(exprs)
+            if _domain_period(nd, N) > B]
+    zmemo = {}
+    zarr = {id(nd): _dev(("zinv", fname, nd.key, N, ctx.coset),
+                         lambda nd=nd: _eval_domain_node(
+                             F, nd, ctx.x_pow_fn, N, zmemo)[0])
+            for nd in zsel}
+
     out_chunks = []
     for s in range(0, N, B):
         long_scals = tuple(
@@ -927,14 +944,16 @@ def evaluate_lde_folded_chunked(exprs, ctx: LdeContext, N: int, fold_coeffs,
             # pass only the seeds this group references
             sel = [i for i, nd in enumerate(pre_nodes)
                    if id(nd) in grp_nodes]
+            zg = [nd for nd in zsel if id(nd) in grp_nodes]
             coeffs = jnp.stack([F.encode_int(c)
                                 for c in fold_coeffs[g:g + group_size]])
             part = _group_eval_chunk_jit(
                 F, grp, ctx.blowup,
-                tuple(pre_nodes[i] for i in sel),
-                tuple(pre_periods[i] for i in sel),
+                tuple(pre_nodes[i] for i in sel) + tuple(zg),
+                tuple(pre_periods[i] for i in sel) + (B,) * len(zg),
                 long_keys, cols, s_dev,
-                tuple(pre_vals[i] for i in sel),
+                tuple(pre_vals[i] for i in sel)
+                + tuple(zarr[id(nd)][s:s + B] for nd in zg),
                 long_tbls, long_scals, challenges, hints, coeffs, B)
             acc = part if acc is None else F.add(acc, part)
         jax.device_get(jnp.ravel(acc)[:1])  # bound the dispatch queue

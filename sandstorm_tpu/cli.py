@@ -41,7 +41,8 @@ def _field_for_prime(prime: int):
 
 
 def main(argv=None):
-    from . import enable_compile_cache
+    from . import enable_compile_cache, probe_tpu
+    probe_tpu()  # revive a wedged axon tunnel before backend init
     enable_compile_cache()
     parser = argparse.ArgumentParser(prog="sandstorm-tpu")
     parser.add_argument("--program", required=True)

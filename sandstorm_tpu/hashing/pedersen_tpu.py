@@ -128,7 +128,10 @@ def _tables16_dev(F):
             hi = t8[2 * s + 1:2 * (s + W):2]
             chunks.append(_combine_window_chunk(F, lo, hi))
             jax.device_get(jnp.ravel(chunks[-1])[:1])
-        _DEV["t16"] = jnp.concatenate(chunks, axis=0)
+        # flatten the (coord, digit) dims: gathered rows become single
+        # 128-byte contiguous units (the [65536, 2, 16] form gathered two
+        # ragged 64B pieces per row)
+        _DEV["t16"] = jnp.concatenate(chunks, axis=0).reshape(32, 65536, 32)
     return _DEV["t16"]
 
 
@@ -205,7 +208,8 @@ def _hash_pairs_core16(F, a_dig, b_dig, tables16, interpret, shift):
     the whole 7M+4S madd formula stays in VMEM; the per-op XLA form paid a
     dispatch plus two digit-layout transposes per montmul).
 
-    tables16: [32, 65536, 2, 16] (windows 0-15 scalar a, 16-31 scalar b).
+    tables16: [32, 65536, 32] flattened-coord windows (0-15 scalar a,
+    16-31 scalar b).
     """
     from ..fields.fp252_pallas import ec_madd_digitmajor
     M = a_dig.shape[0]
@@ -218,8 +222,8 @@ def _hash_pairs_core16(F, a_dig, b_dig, tables16, interpret, shift):
     def body(carry, xs):
         X, Y, Z = carry
         tbl, vw = xs
-        t = jnp.take(tbl, vw, axis=0)  # [M, 2, 16]
-        x2, y2 = t[:, 0].T, t[:, 1].T
+        t = jnp.take(tbl, vw, axis=0)  # [M, 32] contiguous rows
+        x2, y2 = t[:, :16].T, t[:, 16:].T
         X, Y, Z = ec_madd_digitmajor(X, Y, Z, x2, y2, vw == 0,
                                      interpret=interpret)
         return (X, Y, Z), None

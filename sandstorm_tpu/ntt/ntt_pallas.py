@@ -161,7 +161,7 @@ _DEV_CACHE = collections.OrderedDict()
 # (intt n <-> fwd N <-> intt N): evicting by size cost ~2.5s of re-upload
 # PER PHASE.  LRU within a byte budget keeps a whole prove's working set
 # resident (recursive scale ~80MB, starknet ~800MB; HBM is 16GB).
-_DEV_BUDGET_BYTES = 2 << 30
+_DEV_BUDGET_BYTES = 4 << 30
 
 
 def _dev(key, build):

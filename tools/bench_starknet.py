@@ -24,6 +24,15 @@ os.environ.setdefault("SANDSTORM_TPU_TRACE_PHASES", "1")
 
 
 def main():
+    # the axon tunnel sometimes wedges backend init in the first process
+    # after a long TPU job exits; a subprocess probe (with a hard timeout)
+    # kicks it back to life, mirroring bench.py
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       capture_output=True, timeout=420)
+    except subprocess.TimeoutExpired:
+        print("warning: TPU probe timed out; proceeding anyway", flush=True)
     scheme = "cairo"
     if "--scheme" in sys.argv:
         scheme = sys.argv[sys.argv.index("--scheme") + 1]
