@@ -188,9 +188,9 @@ def _use_device_pedersen() -> bool:
 
 # levels with fewer pairs than this switch from the device kernel to the
 # native C++ batch (dispatch overhead beats the hash work below it).
-# 2^7 leaves only ~127 hashes per tree to the single-core native path
-# (~3ms) — at 2^10 the native tops cost ~25ms x 8 trees per prove
-DEVICE_PEDERSEN_MIN_PAIRS = 1 << 7
+# 2^9 balances the single-core native top (~511 hashes, ~12ms) against
+# padded tiny-level device dispatches in the FRI layer trees
+DEVICE_PEDERSEN_MIN_PAIRS = 1 << 9
 
 
 class FriendlyMerkleTreeFast:
