@@ -1,44 +1,19 @@
 """Batched out-of-domain polynomial openings.
 
-Evaluates every committed column polynomial at every opening point with one
-fused kernel per (point, column) pair — a powers table per point (prefix
-scan) and a mul + tree-reduction per column.  The eager per-op formulation
-dispatched hundreds of kernels per opening; and stacking all columns into
-one [C, n, L] array (the previous design) duplicated every coefficient
-array, which at starknet scale (12 x 128MB) was the difference between
-fitting in HBM and not.
+The Pallas path evaluates exactly the (point, column) pairs the AIR's
+trace arguments require — scalar-prefetch pair indices, per-point power
+tables built on device, one fused pass over the coefficient data
+(fields/fp252_pallas.py open_pairs_partials).  The dense fallback (CPU /
+non-fp252) evaluates all columns per point in one dispatch each.  Earlier
+designs, for the record: the eager per-op form dispatched hundreds of
+kernels per opening; the dense K x C kernel did ~6x the needed work; host
+power chains + their upload dominated the phase.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _outer_mul(F, hi, lo):
-    """[a, L] x [b, L] -> [a*b, L] field outer product (hi[i]*lo[j])."""
-    a, b = hi.shape[0], lo.shape[0]
-    big = F.mul(jnp.broadcast_to(hi[:, None], (a, b) + hi.shape[1:]),
-                jnp.broadcast_to(lo[None, :], (a, b) + lo.shape[1:]))
-    return big.reshape(a * b, -1)
-
-
-def _point_powers(F, pt_int: int, n: int):
-    """[n, L] powers pt^0..pt^(n-1).
-
-    Decomposed as pt^(a*B + b) = (pt^B)^a * pt^b with two host-computed
-    sqrt(n) tables and ONE device outer-product mul — a prefix scan here
-    costs log2(n) full-length passes per opening point, which dominated
-    the whole OODS phase at starknet scale.
-    """
-    from ..ntt import powers_host
-    p = F.MODULUS
-    b = 1 << ((n.bit_length() - 1) // 2)
-    a = n // b
-    lo = powers_host(F, pt_int % p, b)                      # pt^0..pt^(b-1)
-    hi = powers_host(F, pow(pt_int, b, p), a)               # (pt^b)^0..
-    return _outer_mul(F, hi, lo)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -51,17 +26,6 @@ def _point_power_stack(F, pts_dev, count: int):
          jnp.broadcast_to(pts_dev[None],
                           (count - 1,) + pts_dev.shape)], axis=0)
     return prefix_mul(F, seq)
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def open_one(F, coeffs, zp):
-    """<coeffs, zp> field dot product: [n, L], [n, L] -> [L]."""
-    a = F.mul(coeffs, zp)
-    n = a.shape[0]
-    while n > 1:
-        a = F.add(a[0::2], a[1::2])
-        n = a.shape[0]
-    return a[0]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
