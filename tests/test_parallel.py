@@ -202,7 +202,7 @@ def test_mesh_prove_recursive_real_example():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     res = subprocess.run(
         [sys.executable, "-c", _MESH_RECURSIVE_SCRIPT],
-        env=env, capture_output=True, text=True, timeout=7200,
+        env=env, capture_output=True, text=True, timeout=14400,
         cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert res.returncode == 0, \
         f"mesh recursive prove failed:\n{res.stderr[-4000:]}"
